@@ -1,0 +1,343 @@
+"""Boundary-MPS contraction engine (open boundary conditions).
+
+TPU-native re-design of the reference's stateful ``BMPSContractor``
+(`include/qlpeps/two_dim_tn/tensor_network_2d/bmps/bmps_contractor.h`) as pure
+functions over dense padded arrays:
+
+* boundary MPS over a row of columns:  ``B[x][a, v, b]`` with bonds ``a, b`` of
+  static dimension ``chi`` and vertical leg ``v`` of dimension ``D``;
+* the projected network ("MPO row") ``S[x][u, l, d, r]``;
+* environment stacks are computed with ``lax.scan`` (one pass collects every
+  intermediate), replacing the reference's incremental stack push/pop
+  (`GrowBMPSForRow`, `ShiftBMPSWindow`).
+
+Edge-bond convention: chain edge bonds are one-dimensional, embedded at index 0
+of the padded ``chi`` axis. ``multiply_mpo`` re-masks edges (exact zeros) and
+``compress`` rebuilds the edge tensors by explicit index-0 closure, so the
+padding never leaks into truncation decisions. Closure of any boundary object
+is therefore always "take index 0".
+
+Normalization: every compress/env step rescales its output to unit Frobenius
+norm and accumulates a log-weight, so mantissas stay O(1) for arbitrarily
+large lattices. Quantities consumed as *ratios* (Metropolis, local energy,
+O* = hole/psi) are formed from shared environments so the log-weights cancel
+exactly and never need exponentiation.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from peps_tpu.linalg import TruncParams, lq, truncated_svd
+
+
+def e0(n: int, dtype) -> jnp.ndarray:
+    v = jnp.zeros((n,), dtype=dtype)
+    return v.at[0].set(1.0)
+
+
+def init_boundary(lx: int, chi: int, d_bond: int, dtype) -> jnp.ndarray:
+    """Trivial boundary MPS: product of index-0 embeddings, [Lx, chi, D, chi]."""
+    site = jnp.zeros((chi, d_bond, chi), dtype=dtype).at[0, 0, 0].set(1.0)
+    return jnp.broadcast_to(site, (lx, chi, d_bond, chi))
+
+
+def multiply_mpo(bmps: jnp.ndarray, row: jnp.ndarray) -> jnp.ndarray:
+    """Absorb one lattice row into the boundary MPS (no compression).
+
+    bmps: [Lx, chi, D, chi]  (vertical leg contracts the row's `u` legs)
+    row:  [Lx, D, D, D, D]   site axes (u, l, d, r)
+    returns [Lx, chi*D, D, chi*D] with grouped bonds (a, l) and (b, r),
+    edge axes re-masked to index 0.
+    """
+    lx, chi, dv, _ = bmps.shape
+    dd = row.shape[-1]
+    out = jnp.einsum("xaub,xuldr->xaldbr", bmps, row)
+    out = out.reshape(lx, chi * dd, row.shape[3], chi * dd)
+    # Edge re-masking: left edge of x=0, right edge of x=Lx-1 carry content at
+    # combined index 0 only; zero the rest exactly (kills canonicalization
+    # garbage from the previous compression round).
+    m = chi * dd
+    left_mask = jnp.zeros((m,), out.dtype).at[0].set(1.0)
+    out = out.at[0].multiply(left_mask[:, None, None])
+    out = out.at[lx - 1].multiply(left_mask[None, None, :])
+    return out
+
+
+class CompressResult(NamedTuple):
+    bmps: jnp.ndarray       # [Lx, chi, D, chi]
+    log_norm: jnp.ndarray   # scalar: log of factored-out norm
+    trunc_err: jnp.ndarray  # max relative truncation error over bonds
+
+
+def compress(mps: jnp.ndarray, chi: int, trunc: TruncParams) -> CompressResult:
+    """Compress an MPS [Lx, m, D, m] (edge content at index 0) to bond dim chi.
+
+    Two sweeps (reference scheme ``SVD_COMPRESS``,
+    `one_dim_tn/boundary_mps/bmps_impl.h:406-437`): right-to-left LQ
+    canonicalization, then left-to-right truncated-SVD sweep. All shapes
+    static; edges closed at index 0 and rebuilt by embedding.
+    """
+    lx, m, dv, _ = mps.shape
+    dtype = mps.dtype
+
+    # ---- close edges (content is exactly at index 0) ----
+    left_t = mps[0, 0]            # [D, m]
+    right_t = mps[lx - 1, :, :, 0]  # [m, D]
+
+    # ---- right-to-left LQ canonicalization ----
+    # x = Lx-1 (right edge): mat [m, D] = L0 @ Q0, pad to static [m, m]/[m, D].
+    l_last, q_last = lq(right_t)              # [m, k], [k, D], k = min(m, D)
+    k = l_last.shape[1]
+    if k < m:
+        l_last = jnp.pad(l_last, ((0, 0), (0, m - k)))
+        q_last = jnp.pad(q_last, ((0, m - k), (0, 0)))
+    bc_last = q_last                           # [m, D] right-canonical edge
+
+    def rl_step(carry_l, b_x):
+        # b_x: [m, D, m]; absorb carried L on the right bond, then LQ.
+        t = jnp.einsum("avb,bc->avc", b_x, carry_l)    # [m, D, m]
+        mat = t.reshape(m, dv * m)
+        l_new, q = lq(mat)                             # [m, m], [m, D*m]
+        return l_new, q.reshape(m, dv, m)
+
+    if lx > 2:
+        inner = mps[1:lx - 1]
+        l_carry, bc_inner = jax.lax.scan(rl_step, l_last, inner, reverse=True)
+    else:
+        l_carry, bc_inner = l_last, jnp.zeros((0, m, dv, m), dtype)
+    # absorb into the (closed) left edge tensor
+    a0 = jnp.einsum("vb,bc->vc", left_t, l_carry)      # [D, m]
+
+    # ---- left-to-right truncated SVD sweep ----
+    u0, s0, vh0, err0 = truncated_svd(a0, TruncParams(chi, trunc.d_min, trunc.trunc_err))
+    b_first = jnp.zeros((chi, dv, chi), dtype).at[0].set(u0)  # u0: [D, chi]
+    carry0 = s0[:, None] * vh0                          # [chi, m]
+
+    def lr_step(carry, bc_x):
+        c = carry
+        t = jnp.einsum("cb,bvd->cvd", c, bc_x)          # [chi, D, m]
+        mat = t.reshape(chi * dv, m)
+        u, s, vh, err = truncated_svd(mat, TruncParams(chi, trunc.d_min, trunc.trunc_err))
+        b_new = u.reshape(chi, dv, chi)
+        return s[:, None] * vh, (b_new, err)
+
+    if lx > 2:
+        carry_c, (b_inner, errs) = jax.lax.scan(lr_step, carry0, bc_inner)
+        max_err = jnp.maximum(err0, jnp.max(errs))
+    else:
+        carry_c, b_inner, max_err = carry0, jnp.zeros((0, chi, dv, chi), dtype), err0
+
+    t_last = jnp.einsum("cb,bv->cv", carry_c, bc_last)  # [chi, D]
+    b_last = jnp.zeros((chi, dv, chi), dtype).at[:, :, 0].set(t_last)
+
+    out = jnp.concatenate([b_first[None], b_inner, b_last[None]], axis=0)
+    # per-tensor normalization: the represented state is the *product* of the
+    # site tensors, so each factored-out norm contributes once to the log.
+    norms = jnp.sqrt(jnp.sum(jnp.abs(out) ** 2, axis=(1, 2, 3)))
+    norms = jnp.maximum(norms, jnp.finfo(out.real.dtype).tiny)
+    out = out / norms[:, None, None, None]
+    return CompressResult(out, jnp.sum(jnp.log(norms)), max_err)
+
+
+def absorb_row(bmps: jnp.ndarray, row: jnp.ndarray, chi: int,
+               trunc: TruncParams) -> CompressResult:
+    """multiply_mpo followed by compress (one `GrowBMPSStep`)."""
+    return compress(multiply_mpo(bmps, row), chi, trunc)
+
+
+class EnvStacks(NamedTuple):
+    """All horizontal boundary environments of a projected network.
+
+    tops[y]:    boundary MPS absorbing rows 0..y-1 (tops[0] = trivial);
+                vertical legs contract row y's `u` legs.   [Ly+1, Lx, chi, D, chi]
+    bots[y]:    boundary MPS absorbing rows y..Ly-1 (bots[Ly] = trivial);
+                vertical legs contract row y-1's `d` legs. [Ly+1, Lx, chi, D, chi]
+    log_tops, log_bots: accumulated log norms, [Ly+1].
+    """
+    tops: jnp.ndarray
+    bots: jnp.ndarray
+    log_tops: jnp.ndarray
+    log_bots: jnp.ndarray
+
+
+def flip_vertical(tn: jnp.ndarray) -> jnp.ndarray:
+    """Flip a projected network [Ly, Lx, u, l, d, r] upside down (u <-> d)."""
+    return tn[::-1].transpose(0, 1, 4, 3, 2, 5)
+
+
+def all_top_envs(tn: jnp.ndarray, chi: int, trunc: TruncParams):
+    """tops[y] for y = 0..Ly via one scan. tn: [Ly, Lx, u, l, d, r]."""
+    ly, lx = tn.shape[:2]
+    dv = tn.shape[2]
+    b0 = init_boundary(lx, chi, dv, tn.dtype)
+
+    def step(carry, row):
+        bmps, logw = carry
+        res = absorb_row(bmps, row, chi, trunc)
+        new = (res.bmps, logw + res.log_norm)
+        return new, new
+
+    init = (b0, jnp.zeros((), tn.real.dtype if jnp.iscomplexobj(tn) else tn.dtype))
+    _, (bs, logs) = jax.lax.scan(step, init, tn)
+    tops = jnp.concatenate([b0[None], bs], axis=0)
+    log_tops = jnp.concatenate([jnp.zeros((1,), logs.dtype), logs])
+    return tops, log_tops
+
+
+def all_env_stacks(tn: jnp.ndarray, chi: int, trunc: TruncParams) -> EnvStacks:
+    """Compute all top and bottom boundary environments."""
+    tops, log_tops = all_top_envs(tn, chi, trunc)
+    ftops, flog = all_top_envs(flip_vertical(tn), chi, trunc)
+    ly = tn.shape[0]
+    # bots[y] = environment absorbing original rows y..Ly-1 = ftops[Ly - y]
+    bots = ftops[::-1]
+    log_bots = flog[::-1]
+    return EnvStacks(tops, bots, log_tops, log_bots)
+
+
+def amplitude(tn: jnp.ndarray, chi: int, trunc: TruncParams):
+    """log-amplitude of the full network: returns (mantissa, log_weight).
+
+    psi = mantissa * exp(log_weight). mantissa is the index-0 closure of the
+    fully absorbed boundary MPS.
+    """
+    ly, lx = tn.shape[:2]
+    tops, log_tops = all_top_envs(tn, chi, trunc)
+    final = tops[ly]  # [Lx, chi, D, chi]; all `d` legs closed at index 0
+
+    def close_step(v, b_x):
+        return v @ b_x[:, 0, :], None
+
+    v0 = e0(final.shape[1], tn.dtype)
+    v, _ = jax.lax.scan(close_step, v0, final)
+    return v[0], log_tops[ly]
+
+
+# ---------------------------------------------------------------------------
+# Row environments (BTen analogue): left/right closures of the
+# top-BMPS x row x bottom-BMPS sandwich.
+# ---------------------------------------------------------------------------
+
+class RowEnvs(NamedTuple):
+    """Per-column left/right environments of a single-row sandwich.
+
+    lefts[x]:  closure of columns < x.  axes (a_top, l_site, c_bot): [Lx+1, chi, D, chi]
+    rights[x]: closure of columns >= x. axes (a_top, l_site, c_bot): [Lx+1, chi, D, chi]
+    Log-weights are NOT tracked here: consumers form ratios from shared
+    environments; per-step normalization keeps mantissas bounded and the
+    common scale cancels.
+    """
+    lefts: jnp.ndarray
+    rights: jnp.ndarray
+    log_lefts: jnp.ndarray
+    log_rights: jnp.ndarray
+
+
+def _col_transfer_left(lenv, top_x, s_x, bot_x):
+    """lenv' = lenv contracted with one column (top, site, bottom)."""
+    t = jnp.einsum("alc,auA->luAc", lenv, top_x)
+    t = jnp.einsum("luAc,uldr->dArc", t, s_x)
+    return jnp.einsum("dArc,cdC->ArC", t, bot_x)
+
+
+def _col_transfer_right(renv, top_x, s_x, bot_x):
+    t = jnp.einsum("ArC,auA->urCa", renv, top_x)
+    t = jnp.einsum("urCa,uldr->dCla", t, s_x)
+    return jnp.einsum("dCla,cdC->alc", t, bot_x)
+
+
+def row_envs(top: jnp.ndarray, bot: jnp.ndarray, row: jnp.ndarray) -> RowEnvs:
+    """Compute all left/right BTens for one row sandwich.
+
+    top: [Lx, chi, D, chi] (v legs -> row `u`), bot: [Lx, chi, D, chi]
+    (v legs -> row `d`), row: [Lx, D, D, D, D].
+    """
+    lx, chi = top.shape[0], top.shape[1]
+    dv = row.shape[2]
+    dtype = row.dtype
+    init = jnp.zeros((chi, dv, chi), dtype).at[0, 0, 0].set(1.0)
+    rdtype = row.real.dtype if jnp.iscomplexobj(row) else row.dtype
+
+    def lstep(carry, xs):
+        env, logw = carry
+        t_x, s_x, b_x = xs
+        new = _col_transfer_left(env, t_x, s_x, b_x)
+        n = jnp.maximum(jnp.linalg.norm(new), jnp.finfo(rdtype).tiny)
+        new = new / n
+        out = (new, logw + jnp.log(n))
+        return out, out
+
+    def rstep(carry, xs):
+        env, logw = carry
+        t_x, s_x, b_x = xs
+        new = _col_transfer_right(env, t_x, s_x, b_x)
+        n = jnp.maximum(jnp.linalg.norm(new), jnp.finfo(rdtype).tiny)
+        new = new / n
+        out = (new, logw + jnp.log(n))
+        return out, out
+
+    zero = jnp.zeros((), rdtype)
+    _, (ls, log_ls) = jax.lax.scan(lstep, (init, zero), (top, row, bot))
+    _, (rs, log_rs) = jax.lax.scan(rstep, (init, zero), (top, row, bot), reverse=True)
+    lefts = jnp.concatenate([init[None], ls], axis=0)
+    log_lefts = jnp.concatenate([zero[None], log_ls])
+    rights = jnp.concatenate([rs, init[None]], axis=0)
+    log_rights = jnp.concatenate([log_rs, zero[None]])
+    return RowEnvs(lefts, rights, log_lefts, log_rights)
+
+
+def row_trace(envs: RowEnvs, x: int | jnp.ndarray):
+    """Mantissa of psi evaluated by closing lefts[x] against rights[x]."""
+    lenv = envs.lefts[x]
+    renv = envs.rights[x]
+    return jnp.einsum("alc,alc->", lenv, renv)
+
+
+def punch_holes_row(envs: RowEnvs, top: jnp.ndarray, bot: jnp.ndarray):
+    """All site environments ("holes") of one row, plus local psi mantissas.
+
+    Returns (holes [Lx, u, l, d, r], psi_loc [Lx]) where psi_loc[x] is psi
+    computed in the same environment product as holes[x] (so holes/psi_loc is
+    exactly O*-ready). Reference: `PunchHole`, bmps_contractor.h:940.
+    """
+    lx = top.shape[0]
+    lefts = envs.lefts[:lx]      # L[x]
+    rights = envs.rights[1:]     # R[x+1]
+    holes = jnp.einsum("xalc,xauA,xcdC,xArC->xuldr", lefts, top, bot, rights)
+    return holes
+
+
+def replace_one_site_traces(envs: RowEnvs, top: jnp.ndarray, bot: jnp.ndarray,
+                            candidates: jnp.ndarray) -> jnp.ndarray:
+    """psi mantissas with site (row, x) replaced by each candidate tensor.
+
+    candidates: [Lx, K, u, l, d, r] -> returns [Lx, K].
+    Reference: `ReplaceOneSiteTrace`, bmps_contractor.h:854.
+    """
+    lx = top.shape[0]
+    holes = punch_holes_row(envs, top, bot)
+    return jnp.einsum("xuldr,xkuldr->xk", holes, candidates)
+
+
+def replace_nn_site_traces(envs: RowEnvs, top: jnp.ndarray, bot: jnp.ndarray,
+                           cand1: jnp.ndarray, cand2: jnp.ndarray) -> jnp.ndarray:
+    """psi mantissas with sites (x, x+1) replaced by candidate pairs.
+
+    cand1: [Lx-1, K1, u, l, d, r] candidates for the left site of each bond,
+    cand2: [Lx-1, K2, u, l, d, r] for the right site.
+    Returns [Lx-1, K1, K2]. Reference: `ReplaceNNSiteTrace`,
+    bmps_contractor.h:869.
+    """
+    lx = top.shape[0]
+    lefts = envs.lefts[:lx - 1]       # L[x]
+    rights = envs.rights[2:]          # R[x+2]
+    t1 = jnp.einsum("xalc,xauA->xluAc", lefts, top[:lx - 1])
+    t1 = jnp.einsum("xluAc,xkuldr->xkdArc", t1, cand1)
+    t1 = jnp.einsum("xkdArc,xcdC->xkArC", t1, bot[:lx - 1])
+    t2 = jnp.einsum("xArC,xauA->xurCa", rights, top[1:])
+    t2 = jnp.einsum("xurCa,xjuldr->xjdCla", t2, cand2)
+    t2 = jnp.einsum("xjdCla,xcdC->xjalc", t2, bot[1:])
+    return jnp.einsum("xkalc,xjalc->xkj", t1, t2)

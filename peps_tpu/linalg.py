@@ -1,0 +1,136 @@
+"""Static-shape truncated linear algebra primitives.
+
+The reference library (QuantumLiquids/PEPS) relies on qlten's dynamically-shaped
+truncated SVD/QR (`include/qlpeps/two_dim_tn/peps/square_lattice_peps_projection_impl.h:104-122`).
+On TPU every shape must be static, so truncation is expressed as *masking*: we
+always keep ``k_max`` singular values but zero out those below the truncation
+threshold. Zero-padded rows/columns (our boundary-bond embedding) produce zero
+singular values and are therefore harmless.
+
+All functions are jit/vmap friendly and dtype-generic (f32/f64/c64/c128).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class TruncParams:
+    """Truncation policy for SVD-based bond compression.
+
+    Mirrors the reference's ``BMPSTruncateParams``/``TRGTruncateParams``
+    (D_min/D_max/trunc_err) but with the TPU twist that D_max is the *static*
+    array size and truncation only masks.
+
+    Attributes:
+      d_max: static maximum kept rank (also the padded dimension).
+      d_min: minimum kept rank (singular values with index < d_min are always
+        kept even if below the error threshold).
+      trunc_err: discard smallest singular values while the *squared* discarded
+        weight fraction stays below this value (same convention as qlten).
+    """
+    d_max: int
+    d_min: int = 1
+    trunc_err: float = 1e-12
+
+
+def _svd(mat: jax.Array):
+    """SVD wrapper; full_matrices=False."""
+    return jnp.linalg.svd(mat, full_matrices=False)
+
+
+def svd_mask(s: jax.Array, params: TruncParams) -> jax.Array:
+    """Compute a 0/1 keep-mask over singular values (descending order).
+
+    Keep rule (matching qlten semantics): keep the smallest number of leading
+    singular values such that sum of discarded s_i^2 <= trunc_err * sum(s^2),
+    but always keep at least d_min and at most d_max.
+    """
+    s2 = s * s
+    total = jnp.sum(s2)
+    # tail[i] = sum of s2[i:] (weight discarded if we keep only first i values)
+    tail = jnp.cumsum(s2[::-1])[::-1]
+    idx = jnp.arange(s.shape[0])
+    # keep index i iff discarding from i would exceed the budget
+    keep_err = tail > params.trunc_err * jnp.maximum(total, jnp.finfo(s.dtype).tiny)
+    keep = keep_err | (idx < params.d_min)
+    keep = keep & (idx < params.d_max)
+    return keep.astype(s.dtype)
+
+
+def truncated_svd(mat: jax.Array, params: TruncParams):
+    """Masked truncated SVD with static output rank ``params.d_max``.
+
+    Returns (u, s, vh, trunc_err_actual) with
+      u: [m, d_max], s: [d_max], vh: [d_max, n].
+    Singular triples beyond the kept rank are zeroed (not dropped), so
+    ``u * s @ vh`` is the truncated approximation and downstream shapes are
+    static. If min(m, n) < d_max the factors are zero-padded.
+    """
+    u, s, vh = _svd(mat)
+    mask = svd_mask(s, params)
+    s_kept = s * mask
+    k = min(mat.shape[0], mat.shape[1])
+    d_max = params.d_max
+    s2_total = jnp.sum(s * s)
+    err = jnp.sum((s - s_kept) ** 2)
+    trunc_err_actual = err / jnp.maximum(s2_total, jnp.finfo(s.dtype).tiny)
+    if k >= d_max:
+        u = u[:, :d_max]
+        s_kept = s_kept[:d_max]
+        vh = vh[:d_max, :]
+        # ensure masked-out columns are exactly zero so padded slots never leak
+        col_mask = mask[:d_max]
+        u = u * col_mask[None, :]
+        vh = vh * col_mask[:, None]
+    else:
+        pad = d_max - k
+        u = jnp.pad(u * mask[None, :], ((0, 0), (0, pad)))
+        s_kept = jnp.pad(s_kept, (0, pad))
+        vh = jnp.pad(vh * mask[:, None], ((0, pad), (0, 0)))
+    return u, s_kept, vh, trunc_err_actual
+
+
+def lq(mat: jax.Array):
+    """LQ decomposition: mat = L @ Q with Q having orthonormal rows.
+
+    Returns (l, q) with l: [m, k], q: [k, n], k = min(m, n).
+    """
+    # mat^dag = Q~ R~ with Q~^dag Q~ = I  =>  mat = R~^dag Q~^dag.
+    # Set L = R~^dag, Q = Q~^dag; then Q Q^dag = I (orthonormal rows).
+    q_t, r_t = jnp.linalg.qr(mat.conj().T, mode="reduced")
+    return r_t.conj().T, q_t.conj().T
+
+
+def qr(mat: jax.Array):
+    """Reduced QR; returns (q, r)."""
+    return jnp.linalg.qr(mat, mode="reduced")
+
+
+def safe_inverse(x: jax.Array, tol: float = 1e-10) -> jax.Array:
+    """Element-wise pseudo-inverse with relative cutoff (lambda^-1 guards).
+
+    Matches the reference's inv_tol guards when splitting lambdas back out of
+    simple-update bonds (`square_lattice_peps_projection_impl.h`).
+    """
+    scale = jnp.max(jnp.abs(x))
+    cutoff = tol * jnp.maximum(scale, jnp.finfo(x.real.dtype).tiny)
+    return jnp.where(jnp.abs(x) > cutoff, 1.0 / jnp.where(jnp.abs(x) > cutoff, x, 1.0), 0.0)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def expm_taylor(mat: jax.Array, order: int = 16) -> jax.Array:
+    """Taylor-series matrix exponential (reference: TaylorExpMatrix,
+    `algorithm/simple_update/simple_update.h:83`). Good for small gate
+    matrices ||tau*H|| << 1; shape-static and TPU-friendly."""
+    d = mat.shape[0]
+    acc = jnp.eye(d, dtype=mat.dtype)
+    term = jnp.eye(d, dtype=mat.dtype)
+    for n in range(1, order + 1):
+        term = term @ mat / n
+        acc = acc + term
+    return acc

@@ -1,0 +1,129 @@
+"""TPS / SplitIndexTPS state container.
+
+One dense array ``[Ly, Lx, d, D, D, D, D]`` with site axes (p, u, l, d, r) is
+both the reference's ``TPS`` (`include/qlpeps/two_dim_tn/tps/tps.h:76`) and its
+``SplitIndexTPS`` (`split_index_tps.h:81`): axis 2 is the split physical index.
+Being a single array, the whole VMC parameter vector supports vector-space ops
+(+, -, scalar *, inner product), elementwise transforms for AdaGrad/Adam, and
+sharding — with no per-site bookkeeping.
+
+Boundary bonds are padded (content at index 0, exact zeros elsewhere); masks
+come from :func:`peps_tpu.lattice.boundary_mask`.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from peps_tpu.lattice import BoundaryCondition, boundary_mask
+
+
+@dataclasses.dataclass(frozen=True)
+class TPSMeta:
+    ly: int
+    lx: int
+    phys_dim: int
+    bond_dim: int
+    bc: BoundaryCondition = BoundaryCondition.OPEN
+
+
+def random_tps(key: jax.Array, ly: int, lx: int, phys_dim: int, bond_dim: int,
+               dtype=jnp.float32, bc: BoundaryCondition = BoundaryCondition.OPEN,
+               scale: float = 1.0) -> jnp.ndarray:
+    """Random TPS with boundary padding masked to exact zeros."""
+    shape = (ly, lx, phys_dim, bond_dim, bond_dim, bond_dim, bond_dim)
+    if jnp.issubdtype(dtype, jnp.complexfloating):
+        kr, ki = jax.random.split(key)
+        real_dt = jnp.float64 if dtype == jnp.complex128 else jnp.float32
+        arr = (jax.random.normal(kr, shape, real_dt)
+               + 1j * jax.random.normal(ki, shape, real_dt)).astype(dtype)
+    else:
+        arr = jax.random.normal(key, shape, dtype)
+    mask = jnp.asarray(boundary_mask(ly, lx, phys_dim, bond_dim, bc), dtype=arr.real.dtype)
+    return arr * scale * mask
+
+
+def project(tps: jnp.ndarray, config: jnp.ndarray) -> jnp.ndarray:
+    """Project onto a classical configuration: tn[y,x] = tps[y,x,config[y,x]].
+
+    tps: [Ly, Lx, d, D, D, D, D], config: [Ly, Lx] int -> [Ly, Lx, D, D, D, D].
+    Reference: `TPS::Project`, tps_impl.h.
+    """
+    idx = config[:, :, None, None, None, None, None]
+    return jnp.take_along_axis(tps, idx, axis=2).squeeze(2)
+
+
+def inner_product(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Flattened Euclidean inner product <a|b> (conjugating a), the
+    reference's SplitIndexTPS operator* (`split_index_tps.h:370`)."""
+    return jnp.vdot(a, b)
+
+
+def norm_square(a: jnp.ndarray) -> jnp.ndarray:
+    return jnp.real(jnp.vdot(a, a))
+
+
+def save_tps(path: str, tps: np.ndarray | jnp.ndarray, meta: TPSMeta) -> None:
+    """Dump to <path>.npz + JSON meta (reference: tps_meta.txt + per-tensor
+    binaries, `split_index_tps.h:567-588`)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path if path.endswith(".npz") else path + ".npz", tps=np.asarray(tps))
+    meta_path = (path[:-4] if path.endswith(".npz") else path) + "_meta.json"
+    with open(meta_path, "w") as f:
+        json.dump({"ly": meta.ly, "lx": meta.lx, "phys_dim": meta.phys_dim,
+                   "bond_dim": meta.bond_dim, "bc": meta.bc.value}, f)
+
+
+def load_tps(path: str):
+    base = path[:-4] if path.endswith(".npz") else path
+    arr = np.load(base + ".npz")["tps"]
+    with open(base + "_meta.json") as f:
+        m = json.load(f)
+    meta = TPSMeta(m["ly"], m["lx"], m["phys_dim"], m["bond_dim"],
+                   BoundaryCondition(m["bc"]))
+    return jnp.asarray(arr), meta
+
+
+# ---------------------------------------------------------------------------
+# Brute-force oracles (tests only; exponential in lattice size)
+# ---------------------------------------------------------------------------
+
+def exact_contract(tn: np.ndarray) -> complex:
+    """Exactly contract a small projected network [Ly, Lx, u, l, d, r] by
+    absorbing rows into a dense top boundary (no truncation). Boundary legs
+    are closed at index 0. Test oracle for the BMPS engine."""
+    tn = np.asarray(tn)
+    ly, lx, D = tn.shape[0], tn.shape[1], tn.shape[2]
+    # boundary vector over the Lx down-legs, starts as index-0 product
+    v = np.zeros((D,) * lx, dtype=tn.dtype)
+    v[(0,) * lx] = 1.0
+    for y in range(ly):
+        # absorb row y: contract each column's u leg, chain l/r bonds
+        # state w has open legs: (d_0 .. d_{x-1}, r_{x-1}, u_x .. u_{Lx-1})
+        w = v
+        for x in range(lx):
+            s = tn[y, x]  # [u, l, d, r]
+            if x == 0:
+                s = s[:, 0, :, :]  # close left edge -> [u, d, r]
+                # w axes: (u_0, u_1, .., u_{Lx-1}); contract u_0
+                w = np.tensordot(s, w, axes=([0], [0]))  # axes (d0, r0, u1, ...)
+            else:
+                # w axes: (d_0..d_{x-1}, r_{x-1}, u_x, ..)
+                w = np.tensordot(w, tn[y, x], axes=([x, x + 1], [1, 0]))
+                # result axes: (d_0..d_{x-1}, u_{x+1}.., d_x, r_x)
+                w = np.moveaxis(w, -2, x)      # bring d_x after d_{x-1}
+                w = np.moveaxis(w, -1, x + 1)  # bring r_x next
+        # close right edge
+        idx = [slice(None)] * lx + [0]
+        v = w[tuple(idx)]
+    # close all bottom legs at index 0
+    return v[(0,) * lx]
+
+
+def exact_amplitude(tps: np.ndarray, config: np.ndarray) -> complex:
+    return exact_contract(np.asarray(project(jnp.asarray(tps), jnp.asarray(config))))

@@ -1,0 +1,18 @@
+"""Test configuration: run on a virtual 8-device CPU mesh with x64 enabled.
+
+Mirrors the reference's strategy of exercising MPI code paths with local
+`mpiexec -n 4` runs (SURVEY.md section 4 tier 4): multi-chip sharding is
+validated on XLA host devices; real-TPU runs happen in the bench tier.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; the config flag wins.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

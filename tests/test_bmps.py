@@ -1,0 +1,131 @@
+"""BMPS contraction engine vs brute-force exact contraction.
+
+Reference analogue: tests/test_2d_tn/test_bmps_contractor.cpp (SURVEY.md §4.1).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from peps_tpu.contraction import bmps
+from peps_tpu.linalg import TruncParams
+from peps_tpu.tps import exact_contract, project, random_tps
+
+DTYPES = [jnp.float64, jnp.complex128]
+
+
+def _random_tn(key, ly, lx, d, D, dtype):
+    tps = random_tps(key, ly, lx, d, D, dtype=dtype, scale=0.7)
+    config = jax.random.randint(jax.random.fold_in(key, 7), (ly, lx), 0, d)
+    return project(tps, config), tps, config
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+@pytest.mark.parametrize("ly,lx,D", [(2, 2, 2), (3, 3, 2), (3, 4, 3), (4, 3, 2)])
+def test_amplitude_matches_exact(dtype, ly, lx, D):
+    key = jax.random.PRNGKey(ly * 100 + lx * 10 + D)
+    tn, _, _ = _random_tn(key, ly, lx, 2, D, dtype)
+    exact = exact_contract(np.asarray(tn))
+    chi = min(D ** lx, 32)  # >= max Schmidt rank: no real truncation
+    mant, logw = bmps.amplitude(tn, chi, TruncParams(chi, 1, 0.0))
+    got = complex(mant) * np.exp(float(logw))
+    assert np.abs(got - complex(exact)) < 1e-8 * max(1.0, abs(complex(exact)))
+
+
+@pytest.mark.parametrize("dtype", [jnp.float64])
+def test_truncation_accuracy(dtype):
+    """Moderate chi should still reproduce the amplitude to good accuracy."""
+    key = jax.random.PRNGKey(0)
+    tn, _, _ = _random_tn(key, 4, 4, 2, 3, dtype)
+    exact = exact_contract(np.asarray(tn))
+    mant, logw = bmps.amplitude(tn, 9, TruncParams(9, 1, 1e-10))
+    got = float(mant) * np.exp(float(logw))
+    assert np.abs(got - float(exact)) < 1e-6 * abs(float(exact))
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_row_trace_consistency(dtype):
+    """psi evaluated from any row sandwich & any column closure must agree
+    (the reference's psi-consistency monitor, psi_consistency.h)."""
+    key = jax.random.PRNGKey(3)
+    ly, lx, D, chi = 3, 4, 2, 16
+    tn, _, _ = _random_tn(key, ly, lx, 2, D, dtype)
+    tp = TruncParams(chi, 1, 0.0)
+    exact = complex(exact_contract(np.asarray(tn)))
+    stacks = bmps.all_env_stacks(tn, chi, tp)
+    for y in range(ly):
+        envs = bmps.row_envs(stacks.tops[y], stacks.bots[y + 1], tn[y])
+        logw = stacks.log_tops[y] + stacks.log_bots[y + 1]
+        for x in range(lx + 1):
+            mant = complex(bmps.row_trace(envs, x))
+            lw = float(envs.log_lefts[x] + envs.log_rights[x] + logw)
+            got = mant * np.exp(lw)
+            assert np.abs(got - exact) < 1e-8 * abs(exact), (y, x)
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_punch_hole_is_site_derivative(dtype):
+    """hole[y,x] contracted with the site tensor must give psi; and it must
+    equal the exact derivative d psi / d tn[y,x] (probe test, analogue of
+    PunchHoleBaselineByProbingForTest in test_trg_contractor.cpp)."""
+    key = jax.random.PRNGKey(11)
+    ly, lx, D, chi = 3, 3, 2, 16
+    tn, _, _ = _random_tn(key, ly, lx, 2, D, dtype)
+    tp = TruncParams(chi, 1, 0.0)
+    exact = complex(exact_contract(np.asarray(tn)))
+    stacks = bmps.all_env_stacks(tn, chi, tp)
+    for y in range(ly):
+        envs = bmps.row_envs(stacks.tops[y], stacks.bots[y + 1], tn[y])
+        holes = bmps.punch_holes_row(envs, stacks.tops[y], stacks.bots[y + 1])
+        logw = float(stacks.log_tops[y] + stacks.log_bots[y + 1])
+        for x in range(lx):
+            lw = float(envs.log_lefts[x] + envs.log_rights[x + 1]) + logw
+            psi_from_hole = complex(jnp.einsum("uldr,uldr->", holes[x], tn[y, x]))
+            got = psi_from_hole * np.exp(lw)
+            assert np.abs(got - exact) < 1e-8 * abs(exact), (y, x)
+            # probe: derivative against a random direction
+            probe = np.asarray(jax.random.normal(
+                jax.random.fold_in(key, 97 + 10 * y + x), holes[x].shape)).astype(np.complex128 if dtype == jnp.complex128 else np.float64)
+            eps = 1e-6
+            tn_p = np.asarray(tn).copy()
+            tn_p[y, x] = tn_p[y, x] + eps * probe
+            fd = (complex(exact_contract(tn_p)) - exact) / eps
+            anl = complex(jnp.einsum("uldr,uldr->", holes[x], jnp.asarray(probe))) * np.exp(lw)
+            assert np.abs(fd - anl) < 1e-4 * max(1.0, abs(fd)), (y, x)
+
+
+@pytest.mark.parametrize("dtype", DTYPES)
+def test_replace_traces(dtype):
+    """Replace-one-site and replace-NN traces vs brute force."""
+    key = jax.random.PRNGKey(21)
+    ly, lx, D, d, chi = 3, 3, 2, 2, 16
+    tn, tps, config = _random_tn(key, ly, lx, d, D, dtype)
+    tp = TruncParams(chi, 1, 0.0)
+    stacks = bmps.all_env_stacks(tn, chi, tp)
+    y = 1
+    envs = bmps.row_envs(stacks.tops[y], stacks.bots[y + 1], tn[y])
+    logw = float(stacks.log_tops[y] + stacks.log_bots[y + 1])
+
+    cands = tps[y]  # [Lx, d, u, l, d, r]
+    ones = bmps.replace_one_site_traces(envs, stacks.tops[y], stacks.bots[y + 1], cands)
+    for x in range(lx):
+        lw = float(envs.log_lefts[x] + envs.log_rights[x + 1]) + logw
+        for p in range(d):
+            tn_mod = np.asarray(tn).copy()
+            tn_mod[y, x] = np.asarray(tps[y, x, p])
+            want = complex(exact_contract(tn_mod))
+            got = complex(ones[x, p]) * np.exp(lw)
+            assert np.abs(got - want) < 1e-8 * max(1.0, abs(want)), (x, p)
+
+    nn = bmps.replace_nn_site_traces(envs, stacks.tops[y], stacks.bots[y + 1],
+                                     cands[:-1], cands[1:])
+    for x in range(lx - 1):
+        lw = float(envs.log_lefts[x] + envs.log_rights[x + 2]) + logw
+        for p1 in range(d):
+            for p2 in range(d):
+                tn_mod = np.asarray(tn).copy()
+                tn_mod[y, x] = np.asarray(tps[y, x, p1])
+                tn_mod[y, x + 1] = np.asarray(tps[y, x + 1, p2])
+                want = complex(exact_contract(tn_mod))
+                got = complex(nn[x, p1, p2]) * np.exp(lw)
+                assert np.abs(got - want) < 1e-8 * max(1.0, abs(want)), (x, p1, p2)
