@@ -106,6 +106,12 @@ def lq(mat: jax.Array):
     return r_t.conj().T, q_t.conj().T
 
 
+def blq(mat: jax.Array):
+    """Batched LQ: mat = L @ Q over leading batch dims, Q Q^dag = I."""
+    q_t, r_t = jnp.linalg.qr(jnp.conj(jnp.swapaxes(mat, -1, -2)), mode="reduced")
+    return jnp.conj(jnp.swapaxes(r_t, -1, -2)), jnp.conj(jnp.swapaxes(q_t, -1, -2))
+
+
 def qr(mat: jax.Array):
     """Reduced QR; returns (q, r)."""
     return jnp.linalg.qr(mat, mode="reduced")

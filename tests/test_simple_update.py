@@ -1,0 +1,66 @@
+"""Simple update: imaginary-time evolution lowers true (exactly contracted)
+energy toward the ED ground state on small lattices.
+
+Reference analogue: simple-update integration tests + 2x2 golden data
+(SURVEY.md §4.6, tests/test_data/SIMPLE_UPDATE_DATA_SPEC.md)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from peps_tpu.linalg import TruncParams
+from peps_tpu.models import spin
+from peps_tpu.peps import (PEPS, SimpleUpdateParams, fold_site_into_bonds,
+                           product_peps, simple_update, to_tps)
+from tests.ed_oracle import energy_of_tps, ground_energy
+
+
+def neel_occupancy(ly, lx):
+    return np.fromfunction(lambda y, x: (y + x) % 2, (ly, lx), dtype=int)
+
+
+@pytest.mark.parametrize("ly,lx,D,tol", [(2, 2, 4, 2e-3), (2, 3, 4, 2e-2)])
+def test_heisenberg_su_energy(ly, lx, D, tol):
+    model = spin.heisenberg(1.0)
+    e_ed = ground_energy(model, ly, lx)
+    peps = product_peps(ly, lx, D, neel_occupancy(ly, lx), 2, dtype=jnp.float64)
+    for tau in (0.2, 0.05, 0.01):
+        res = simple_update(peps, model.h_h, model.h_v,
+                            SimpleUpdateParams(steps=200, tau=tau,
+                                               trunc=TruncParams(D, 1, 1e-12),
+                                               energy_abs_tol=1e-9, min_steps=20))
+        peps = res.peps
+    e_true = energy_of_tps(np.asarray(to_tps(peps)), model)
+    assert e_true < 0
+    assert abs(e_true - e_ed) < tol * abs(e_ed), (e_true, e_ed)
+    # the mean-field per-bond estimate should be in the right ballpark too
+    assert abs(res.estimated_e0 - e_ed) < 0.15 * abs(e_ed)
+
+
+def test_tfim_su_energy():
+    ly, lx, D = 2, 3, 4
+    model = spin.transverse_field_ising(1.0, 3.0)
+    e_ed = ground_energy(model, ly, lx)
+    hh, hv = fold_site_into_bonds(model.h_h, model.h_v, model.h_site, ly, lx)
+    peps = product_peps(ly, lx, D, np.zeros((ly, lx), int), 2, dtype=jnp.float64)
+    for tau in (0.1, 0.02):
+        res = simple_update(peps, hh, hv,
+                            SimpleUpdateParams(steps=300, tau=tau,
+                                               trunc=TruncParams(D, 1, 1e-12),
+                                               energy_abs_tol=1e-10, min_steps=20))
+        peps = res.peps
+    e_true = energy_of_tps(np.asarray(to_tps(peps)), model)
+    assert abs(e_true - e_ed) < 2e-2 * abs(e_ed), (e_true, e_ed)
+
+
+def test_su_preserves_boundary_padding():
+    ly, lx, D = 2, 3, 3
+    model = spin.heisenberg()
+    peps = product_peps(ly, lx, D, neel_occupancy(ly, lx), 2, dtype=jnp.float64)
+    res = simple_update(peps, model.h_h, model.h_v,
+                        SimpleUpdateParams(steps=5, tau=0.1,
+                                           trunc=TruncParams(D, 1, 1e-12)))
+    tps = np.asarray(to_tps(res.peps))
+    from peps_tpu.lattice import boundary_mask
+    mask = boundary_mask(ly, lx, 2, D)
+    assert np.all(tps * (1 - mask) == 0.0)
