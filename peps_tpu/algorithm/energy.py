@@ -1,0 +1,244 @@
+"""Local energy + gradient holes for a configuration (the L4 evaluator core).
+
+TPU-native replacement of the reference's CRTP model solvers
+(`algorithm/vmc_update/model_solvers/base/square_nnn_energy_solver.h:81`,
+`model_energy_solver.h:70`): instead of per-bond scalar traces, we compute
+FULL amplitude-ratio tables [d, d] per bond with batched einsums from shared
+row environments, then contract them against the model's coupling tensors.
+One generic evaluator covers every bosonic model expressible as
+(h_h, h_v, h_d, h_ad, h_site).
+
+Design notes (vs the reference):
+* Horizontal bonds, one-site terms and gradient holes come from single-row
+  sandwiches (top/bottom BMPS + left/right BTens).
+* Vertical NN bonds AND both diagonals come from TWO-ROW sandwiches (the
+  reference's BTen2, `bmps_contractor.h:732-799`). The reference instead
+  re-runs a transposed BMPS pass for vertical bonds
+  (`base/bond_traversal_mixin.h`); the two-row route reuses the same top/
+  bottom stacks and needs no extra SVD compressions — strictly cheaper.
+* All ratios are formed within one shared environment product, so the
+  log-weight normalization cancels exactly.
+
+Everything is jit-able and vmap-able over configurations (the chain batch
+axis replaces MPI rank parallelism).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from peps_tpu.contraction import bmps
+from peps_tpu.linalg import TruncParams
+from peps_tpu.tps import project
+
+
+class ModelTensors(NamedTuple):
+    """Dense coupling tensors of a square-lattice model (any may be None).
+
+    Conventions: h[p1', p2', p1, p2] = <p1' p2'| h |p1 p2>; h_d acts on
+    (y,x)-(y+1,x+1), h_ad on (y+1,x)-(y,x+1); h_site[p', p]."""
+    h_h: jnp.ndarray | None
+    h_v: jnp.ndarray | None
+    h_d: jnp.ndarray | None
+    h_ad: jnp.ndarray | None
+    h_site: jnp.ndarray | None
+
+    @classmethod
+    def from_model(cls, model, dtype):
+        conv = lambda m: None if m is None else jnp.asarray(m, dtype)
+        return cls(conv(model.h_h), conv(model.h_v), conv(model.h_d),
+                   conv(model.h_ad), conv(model.h_site))
+
+
+class EnergyHoles(NamedTuple):
+    e_loc: jnp.ndarray        # local energy E_loc(config), scalar
+    o_tensor: jnp.ndarray | None  # O = d ln psi / d A, [Ly, Lx, d, D, D, D, D]
+    log_abs_psi: jnp.ndarray  # log |psi|
+    psi_mant: jnp.ndarray     # mantissa of the full contraction
+
+
+def _cfg_lookup2(h, c1, c2):
+    """h[d,d,d,d] -> h[c1, c2, :, :] for config arrays c1, c2 (any shape)."""
+    return h[c1, c2]
+
+
+def _row_pass(tps, tn, config, h_bond, with_holes: bool, stacks):
+    """Single-row machinery: horizontal bond energies, one-site ratio tables,
+    holes. Returns (bond_e, ratio1 [Ly, Lx, d], o_tensor|None, psi_loc)."""
+    ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
+
+    def per_row(top, bot, row, row_cands):
+        envs = bmps.row_envs(top, bot, row)
+        holes = bmps.punch_holes_row(envs, top, bot)        # [Lx, u,l,d,r]
+        psi_loc = jnp.einsum("xuldr,xuldr->x", holes, row)  # [Lx]
+        ones = jnp.einsum("xuldr,xpuldr->xp", holes, row_cands)  # [Lx, d]
+        nn = bmps.replace_nn_site_traces(envs, top, bot,
+                                         row_cands[:lx - 1], row_cands[1:])
+        return holes, psi_loc, ones, nn
+
+    holes, psi_loc, ones, nn = jax.vmap(per_row)(
+        stacks.tops[:ly], stacks.bots[1:], tn, tps)
+
+    safe_psi = jnp.where(psi_loc == 0, 1.0, psi_loc)
+    ratio1 = ones / safe_psi[..., None]                     # [Ly, Lx, d]
+
+    bond_e = jnp.zeros((), psi_loc.dtype)
+    if h_bond is not None:
+        c1, c2 = config[:, :lx - 1], config[:, 1:]
+        psi_b = jnp.take_along_axis(
+            jnp.take_along_axis(nn, c1[:, :, None, None], axis=2).squeeze(2),
+            c2[:, :, None], axis=2).squeeze(2)              # [Ly, Lx-1]
+        safe_b = jnp.where(psi_b == 0, 1.0, psi_b)
+        ratios = nn / safe_b[:, :, None, None]
+        bond_e = jnp.sum(_cfg_lookup2(h_bond, c1, c2) * ratios)
+
+    o_tensor = None
+    if with_holes:
+        sel = jax.nn.one_hot(config, d, dtype=tps.dtype)    # [Ly, Lx, d]
+        o_tensor = (holes / safe_psi[:, :, None, None, None, None])[:, :, None] \
+            * sel[:, :, :, None, None, None, None]
+    return bond_e, ratio1, o_tensor, psi_loc
+
+
+def _pair_row_envs(top, bot, row1, row2, dtype):
+    """Left/right two-row environments (BTen2). Axes of an env: (a=top bond,
+    m1=row1 l-leg, m2=row2 l-leg, c=bot bond). Returns (lefts [Lx+1, ...],
+    rights [Lx+1, ...])."""
+    chi = top.shape[1]
+    dv = row1.shape[1]
+    rdt = row1.real.dtype if jnp.iscomplexobj(row1) else row1.dtype
+    init = jnp.zeros((chi, dv, dv, chi), dtype).at[0, 0, 0, 0].set(1.0)
+
+    def transfer_l(env, xs):
+        t_x, s1, s2, b_x = xs
+        t = jnp.einsum("amnc,auA->mncuA", env, t_x)
+        t = jnp.einsum("mncuA,umdr->ncAdr", t, s1)
+        t = jnp.einsum("ncAdr,dnef->cAref", t, s2)
+        t = jnp.einsum("cAref,ceC->ArfC", t, b_x)
+        n = jnp.maximum(jnp.linalg.norm(t), jnp.finfo(rdt).tiny)
+        t = t / n
+        return t, t
+
+    def transfer_r(env, xs):
+        t_x, s1, s2, b_x = xs
+        t = jnp.einsum("auA,ArfC->aurfC", t_x, env)
+        t = jnp.einsum("aurfC,umdr->amdfC", t, s1)
+        t = jnp.einsum("amdfC,dnef->amneC", t, s2)
+        t = jnp.einsum("amneC,ceC->amnc", t, b_x)
+        n = jnp.maximum(jnp.linalg.norm(t), jnp.finfo(rdt).tiny)
+        t = t / n
+        return t, t
+
+    xs = (top, row1, row2, bot)
+    _, ls = jax.lax.scan(transfer_l, init, xs)
+    _, rs = jax.lax.scan(transfer_r, init, xs, reverse=True)
+    lefts = jnp.concatenate([init[None], ls], axis=0)
+    rights = jnp.concatenate([rs, init[None]], axis=0)
+    return lefts, rights
+
+
+def _pair_pass(tps, tn, config, h_v, h_d, h_ad, stacks):
+    """Vertical + diagonal + anti-diagonal bond energies from two-row
+    sandwiches. Returns a scalar energy sum."""
+    ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
+    dtype = tps.dtype
+    rdt = tn.real.dtype if jnp.iscomplexobj(tn) else tn.dtype
+
+    def per_pair(top, bot, row1, row2, cands1, cands2, c1, c2):
+        """One row pair (y, y+1). cands1/cands2: [Lx, d, u, l, d, r]; c1/c2:
+        the two config rows [Lx]."""
+        lefts, rights = _pair_row_envs(top, bot, row1, row2, dtype)
+        e = jnp.zeros((), rdt)
+
+        if h_v is not None:
+            t = jnp.einsum("xamnc,xauA->xmncuA", lefts[:lx], top)
+            t = jnp.einsum("xmncuA,xpumdr->xpncAdr", t, cands1)
+            t = jnp.einsum("xpncAdr,xqdnef->xpqcAref", t, cands2)
+            t = jnp.einsum("xpqcAref,xceC->xpqArfC", t, bot)
+            table = jnp.einsum("xpqArfC,xArfC->xpq", t, rights[1:])  # [Lx, d, d]
+            psi_b = table[jnp.arange(lx), c1, c2]
+            safe = jnp.where(psi_b == 0, 1.0, psi_b)
+            e = e + jnp.sum(h_v[c1, c2] * table / safe[:, None, None])
+
+        nb = lx - 1
+        if nb > 0 and ((h_d is not None) or (h_ad is not None)):
+            tl, bl = top[:nb], bot[:nb]
+            tr, br = top[1:], bot[1:]
+            t0 = jnp.einsum("xamnc,xauA->xmncuA", lefts[:nb], tl)
+            s0 = jnp.einsum("xauA,xArfC->xaurfC", tr, rights[2:])
+            if h_d is not None:
+                # replace row1@x (p) and row2@(x+1) (q)
+                t = jnp.einsum("xmncuA,xpumdr->xpncAdr", t0, cands1[:nb])
+                t = jnp.einsum("xpncAdr,xdnef->xpcAref", t, row2[:nb])
+                lblk = jnp.einsum("xpcAref,xceC->xpArfC", t, bl)
+                s = jnp.einsum("xaurfC,xumdr->xamdfC", s0, row1[1:])
+                s = jnp.einsum("xamdfC,xqdnef->xqamneC", s, cands2[1:])
+                rblk = jnp.einsum("xqamneC,xceC->xqamnc", s, br)
+                table = jnp.einsum("xpABCE,xqABCE->xpq", lblk, rblk)
+                cp, cq = c1[:nb], c2[1:]
+                psi_b = table[jnp.arange(nb), cp, cq]
+                safe = jnp.where(psi_b == 0, 1.0, psi_b)
+                e = e + jnp.sum(h_d[cp, cq] * table / safe[:, None, None])
+            if h_ad is not None:
+                # replace row2@x (q) and row1@(x+1) (p)
+                t = jnp.einsum("xmncuA,xumdr->xncAdr", t0, row1[:nb])
+                t = jnp.einsum("xncAdr,xqdnef->xqcAref", t, cands2[:nb])
+                lblk = jnp.einsum("xqcAref,xceC->xqArfC", t, bl)
+                s = jnp.einsum("xaurfC,xpumdr->xpamdfC", s0, cands1[1:])
+                s = jnp.einsum("xpamdfC,xdnef->xpamneC", s, row2[1:])
+                rblk = jnp.einsum("xpamneC,xceC->xpamnc", s, br)
+                table = jnp.einsum("xqABCE,xpABCE->xqp", lblk, rblk)
+                cq, cp = c2[:nb], c1[1:]
+                psi_b = table[jnp.arange(nb), cq, cp]
+                safe = jnp.where(psi_b == 0, 1.0, psi_b)
+                e = e + jnp.sum(h_ad[cq, cp] * table / safe[:, None, None])
+        return e
+
+    es = jax.vmap(per_pair)(stacks.tops[:ly - 1], stacks.bots[2:],
+                            tn[:ly - 1], tn[1:], tps[:ly - 1], tps[1:],
+                            config[:ly - 1], config[1:])
+    return jnp.sum(es)
+
+
+def local_energy_and_holes(tps: jnp.ndarray, config: jnp.ndarray,
+                           model: ModelTensors, chi: int, trunc: TruncParams,
+                           with_holes: bool = True) -> EnergyHoles:
+    """E_loc(config) and O = d ln psi / dA for one configuration.
+
+    Reference: `ModelEnergySolver::CalEnergyAndHoles` (model_energy_solver.h:70)
+    + `SquareNNNModelEnergySolver` traversal (square_nnn_energy_solver.h:81).
+    """
+    ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
+    tn = project(tps, config)
+    stacks = bmps.all_env_stacks(tn, chi, trunc)
+
+    bond_e, ratio1, o_tensor, psi_loc = _row_pass(
+        tps, tn, config, model.h_h, with_holes, stacks)
+
+    e = bond_e
+    if model.h_site is not None:
+        # E_site = sum_x <c|h|p'> ratio1[p']
+        hrows = model.h_site[config]          # [Ly, Lx, d]
+        e = e + jnp.sum(hrows * ratio1)
+
+    if (model.h_v is not None) or (model.h_d is not None) or (model.h_ad is not None):
+        e = e + _pair_pass(tps, tn, config, model.h_v, model.h_d, model.h_ad,
+                           stacks)
+
+    # full-amplitude diagnostics from the top stack
+    final = stacks.tops[ly]
+    v0 = bmps.e0(final.shape[1], tn.dtype)
+
+    def close_step(v, b_x):
+        return v @ b_x[:, 0, :], None
+    v, _ = jax.lax.scan(close_step, v0, final)
+    mant = v[0]
+    log_abs = jnp.log(jnp.maximum(jnp.abs(mant), jnp.finfo(rdtype(tn)).tiny)) \
+        + stacks.log_tops[ly]
+    return EnergyHoles(e, o_tensor, log_abs, mant)
+
+
+def rdtype(x):
+    return x.real.dtype if jnp.iscomplexobj(x) else x.dtype

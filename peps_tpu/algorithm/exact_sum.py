@@ -1,0 +1,87 @@
+"""Exact-summation energy/gradient evaluator (deterministic test oracle).
+
+Reference: `ExactSumEnergyEvaluatorMPI`
+(`algorithm/vmc_update/exact_summation_energy_evaluator.h:173`): enumerate the
+full configuration space, weight by |psi|^2, and sum exactly — the backbone of
+the reference's zero-noise optimizer tests (SURVEY.md §4.2).
+
+TPU version: configurations become one [Nc, Ly, Lx] batch; the per-config
+evaluator is vmapped; rank round-robin becomes sharding the batch axis.
+"""
+from __future__ import annotations
+
+import itertools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from peps_tpu.algorithm.energy import (EnergyHoles, ModelTensors,
+                                       local_energy_and_holes, rdtype)
+from peps_tpu.linalg import TruncParams
+
+
+def all_configs(ly: int, lx: int, d: int) -> np.ndarray:
+    """Full configuration space [d^N, Ly, Lx] (reference:
+    GenerateAllBinaryConfigs / GenerateAllPermutationConfigs)."""
+    n = ly * lx
+    out = np.array(list(itertools.product(range(d), repeat=n)), dtype=np.int32)
+    return out.reshape(-1, ly, lx)
+
+
+def sector_configs(ly: int, lx: int, occupancy: dict[int, int]) -> np.ndarray:
+    """Configurations with fixed occupation numbers {state: count}
+    (e.g. Sz-conserving sector). occupancy counts must sum to Ly*Lx."""
+    n = ly * lx
+    base = []
+    for state, count in sorted(occupancy.items()):
+        base.extend([state] * count)
+    assert len(base) == n
+    perms = sorted(set(itertools.permutations(base)))
+    return np.array(perms, dtype=np.int32).reshape(-1, ly, lx)
+
+
+class ExactSumResult(NamedTuple):
+    energy: jnp.ndarray      # real scalar
+    gradient: jnp.ndarray | None  # same shape as tps
+    weight_sum: jnp.ndarray  # sum over |psi|^2 (mantissa scale)
+
+
+def exact_sum_energy_gradient(tps: jnp.ndarray, configs: jnp.ndarray,
+                              model: ModelTensors, chi: int,
+                              trunc: TruncParams,
+                              with_grad: bool = True,
+                              batch_size: int | None = None) -> ExactSumResult:
+    """Exact <H> and gradient over an enumerated configuration set.
+
+    Gradient convention: for complex parameters returns dE/d(theta*)
+    (Wirtinger); for real parameters returns the true gradient dE/d(theta)
+    = 2 Re <(E_loc - E) O*>.
+    """
+    evaluate = lambda cfg: local_energy_and_holes(tps, cfg, model, chi, trunc,
+                                                  with_holes=with_grad)
+    if batch_size is None:
+        res = jax.vmap(evaluate)(configs)
+    else:
+        res = jax.lax.map(evaluate, configs, batch_size=batch_size)
+
+    log_abs = res.log_abs_psi
+    # psi = 0 configs: mantissa 0 -> log_abs = log(tiny); weight exp(...) ~ 0.
+    logw = 2.0 * log_abs
+    logw_max = jnp.max(logw)
+    w = jnp.where(res.psi_mant == 0, 0.0, jnp.exp(logw - logw_max))
+    z = jnp.sum(w)
+    e_loc = res.e_loc
+    energy = jnp.sum(w * jnp.real(e_loc)) / z
+
+    grad = None
+    if with_grad:
+        # dE/dtheta* = < conj(O) (E_loc - E) >_w  (O = dlnpsi/dtheta holomorphic)
+        centered = e_loc - energy
+        o = res.o_tensor  # [Nc, Ly, Lx, d, D, D, D, D]
+        wc = (w * centered).astype(o.dtype)
+        grad = jnp.tensordot(wc, jnp.conj(o), axes=(0, 0)) / z
+        if not jnp.iscomplexobj(tps):
+            grad = 2.0 * jnp.real(grad)
+    return ExactSumResult(energy, grad, z * jnp.exp(logw_max))
