@@ -11,6 +11,7 @@ evaluator is vmapped; rank round-robin becomes sharding the batch axis.
 from __future__ import annotations
 
 import itertools
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -48,6 +49,7 @@ class ExactSumResult(NamedTuple):
     weight_sum: jnp.ndarray  # sum over |psi|^2 (mantissa scale)
 
 
+@partial(jax.jit, static_argnames=("chi", "trunc", "with_grad", "batch_size"))
 def exact_sum_energy_gradient(tps: jnp.ndarray, configs: jnp.ndarray,
                               model: ModelTensors, chi: int,
                               trunc: TruncParams,
@@ -85,3 +87,50 @@ def exact_sum_energy_gradient(tps: jnp.ndarray, configs: jnp.ndarray,
         if not jnp.iscomplexobj(tps):
             grad = 2.0 * jnp.real(grad)
     return ExactSumResult(energy, grad, z * jnp.exp(logw_max))
+
+
+@partial(jax.jit, static_argnames=("chi", "trunc", "with_sr_buffers",
+                                   "batch_size"))
+def exact_sum_evaluation(tps: jnp.ndarray, configs: jnp.ndarray,
+                         model: ModelTensors, chi: int, trunc: TruncParams,
+                         with_sr_buffers: bool = False,
+                         batch_size: int | None = None):
+    """Full Evaluation (for the optimizer): energy, gradient, and optionally
+    the centered sqrt-weighted O-sample matrix A and residuals eps such that
+      S = A^H A,   gradient = A^H eps   (x2 for real dtype).
+    """
+    from peps_tpu.optimizer.optimizer import Evaluation
+
+    evaluate = lambda cfg: local_energy_and_holes(tps, cfg, model, chi, trunc,
+                                                  with_holes=True)
+    if batch_size is None:
+        res = jax.vmap(evaluate)(configs)
+    else:
+        res = jax.lax.map(evaluate, configs, batch_size=batch_size)
+
+    logw = 2.0 * res.log_abs_psi
+    logw_max = jnp.max(logw)
+    w = jnp.where(res.psi_mant == 0, 0.0, jnp.exp(logw - logw_max))
+    z = jnp.sum(w)
+    wn = w / z
+    energy = jnp.sum(wn * jnp.real(res.e_loc))
+
+    nc = configs.shape[0]
+    o_flat = res.o_tensor.reshape(nc, -1)
+    obar = jnp.sum(wn[:, None] * o_flat, axis=0)
+    sq = jnp.sqrt(wn).astype(o_flat.dtype)
+    a = sq[:, None] * (o_flat - obar[None, :])
+    eps = sq * (res.e_loc - energy).astype(o_flat.dtype)
+    if not jnp.iscomplexobj(tps):
+        eps = 2.0 * eps
+    grad = (jnp.conj(a.T) @ eps).reshape(tps.shape)
+    if not jnp.iscomplexobj(tps):
+        grad = jnp.real(grad)
+    return Evaluation(
+        energy=energy,
+        gradient=grad.astype(tps.dtype),
+        energy_error=jnp.zeros((), energy.dtype),
+        o_samples=a if with_sr_buffers else None,
+        e_samples=eps if with_sr_buffers else None,
+        accept_rate=None,
+    )

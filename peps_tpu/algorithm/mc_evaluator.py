@@ -1,0 +1,115 @@
+"""Monte Carlo energy/gradient evaluator.
+
+Reference: `MCEnergyGradEvaluator` (mc_energy_grad_evaluator.h:152): per
+sample {sweep -> CalEnergyAndHoles -> accumulate O*, E_loc* O*}, then MPI
+reductions. TPU version: the sample loop is a `lax.scan`, chains are a vmapped
+batch axis, reductions are plain means under jit (device-sharded chain axes
+turn them into psums automatically).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from peps_tpu.algorithm.energy import ModelTensors, local_energy_and_holes
+from peps_tpu.lattice import transpose_tps
+from peps_tpu.linalg import TruncParams
+from peps_tpu.montecarlo.statistics import mean_and_binned_error
+from peps_tpu.montecarlo.sweep import UpdateRule, mc_sweep
+from peps_tpu.optimizer.optimizer import Evaluation
+
+
+@dataclasses.dataclass(frozen=True)
+class MCParams:
+    """Reference: MonteCarloParams (monte_carlo_peps_params.h:37)."""
+    num_samples: int = 100          # sweeps used as samples (per chain)
+    num_warmup_sweeps: int = 100
+    sweeps_between_samples: int = 1
+    nchains: int = 64
+
+
+@partial(jax.jit, static_argnames=("chi", "trunc", "rule",
+                                   "n_samples", "sweeps_between", "with_sr"))
+def _mc_collect(tps, configs, key, model: ModelTensors, chi, trunc, rule,
+                n_samples, sweeps_between, with_sr):
+    """Scan the sample loop; returns e_locs [S, C], o sum / e*o sum (or full
+    SR buffers), acceptance stats, final configs/key."""
+    tps_t = transpose_tps(tps)
+    nc = configs.shape[0]
+
+    def sweep_all(configs, key):
+        keys = jax.random.split(key, nc + 1)
+        cfgs, _, stats = jax.vmap(
+            mc_sweep, in_axes=(None, None, 0, 0, None, None, None))(
+            tps, tps_t, configs, keys[1:], chi, trunc, rule)
+        return cfgs, keys[0], stats
+
+    def eval_all(configs):
+        return jax.vmap(lambda c: local_energy_and_holes(
+            tps, c, model, chi, trunc, with_holes=True))(configs)
+
+    def step(carry, _):
+        configs, key, acc, tri = carry
+        for _ in range(sweeps_between):
+            configs, key, stats = sweep_all(configs, key)
+            acc = acc + jnp.sum(stats.accepted).astype(acc.dtype)
+            tri = tri + jnp.sum(stats.trials).astype(tri.dtype)
+        res = eval_all(configs)
+        o_flat = res.o_tensor.reshape(nc, -1)
+        out = (res.e_loc, o_flat if with_sr else None,
+               jnp.sum(jnp.conj(o_flat), axis=0),
+               None if with_sr else
+               jnp.sum(res.e_loc[:, None] * jnp.conj(o_flat), axis=0),
+               res.log_abs_psi)
+        return (configs, key, acc, tri), out
+
+    init = (configs, key, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    (configs, key, acc, tri), outs = jax.lax.scan(step, init, None,
+                                                  length=n_samples)
+    return configs, key, acc, tri, outs
+
+
+def mc_energy_grad(tps, configs, key, model: ModelTensors, chi: int,
+                   trunc: TruncParams, rule: UpdateRule, params: MCParams,
+                   with_sr_buffers: bool = False):
+    """One VMC energy/gradient estimate. Returns (Evaluation, configs', key').
+
+    Gradient (uniform |psi|^2 sampling): g = <conj(O)(E_loc - E)> over all
+    samples x chains; x2 real part for real dtype (matches the exact-sum
+    evaluator's convention so optimizers are interchangeable)."""
+    configs, key, acc, tri, outs = _mc_collect(
+        tps, configs, key, model, chi, trunc, rule,
+        params.num_samples, params.sweeps_between_samples, with_sr_buffers)
+    e_locs, o_full, o_sum, eo_sum, log_psi = outs
+
+    s, c = e_locs.shape
+    n = s * c
+    energy, err = mean_and_binned_error(jnp.real(e_locs))
+
+    if with_sr_buffers:
+        o_flat = o_full.reshape(n, -1)
+        obar = jnp.mean(o_flat, axis=0)
+        a = (o_flat - obar[None, :]) / jnp.sqrt(n).astype(o_flat.dtype)
+        eps = (e_locs.reshape(n) - energy).astype(o_flat.dtype) / jnp.sqrt(n).astype(o_flat.dtype)
+        if not jnp.iscomplexobj(tps):
+            eps = 2.0 * eps
+        grad = (jnp.conj(a.T) @ eps)
+        if not jnp.iscomplexobj(tps):
+            grad = jnp.real(grad)
+        grad = grad.reshape(tps.shape).astype(tps.dtype)
+        ev = Evaluation(energy, grad, err, a, eps,
+                        acc / jnp.maximum(tri, 1))
+    else:
+        oconj_bar = jnp.sum(o_sum, axis=0) / n      # <conj(O)>
+        eo_bar = jnp.sum(eo_sum, axis=0) / n        # <E_loc conj(O)>
+        grad = eo_bar - energy * oconj_bar          # <conj(O)(E_loc - E)>
+        if not jnp.iscomplexobj(tps):
+            grad = 2.0 * jnp.real(grad)
+        grad = grad.reshape(tps.shape).astype(tps.dtype)
+        ev = Evaluation(energy, grad, err, None, None,
+                        acc / jnp.maximum(tri, 1))
+    return ev, configs, key, log_psi

@@ -1,0 +1,226 @@
+"""Monte Carlo measurement executor + observable registry.
+
+Reference: `MCPEPSMeasurer` (`monte_carlo_peps_measurer.h`, impl) and the
+observable registry (`model_measurement_solver.h:28-51`): solvers declare
+ObservableMeta{key, shape, ...} and emit a map per sample; the measurer
+aggregates means/stderr and dumps stats.
+
+TPU re-design: one jitted per-sample function returns a dict of dense arrays
+for ALL observables at once; the sample loop is a scan; statistics are
+computed on-device. Two-point off-diagonal correlators use a "walker"
+accumulation along rows (the reference's BMPSWalker excited-state propagation,
+`bmps_contractor.h:357-610`) expressed as vmapped scans.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from peps_tpu.algorithm.energy import ModelTensors, local_energy_and_holes
+from peps_tpu.contraction import bmps
+from peps_tpu.lattice import transpose_tps
+from peps_tpu.linalg import TruncParams
+from peps_tpu.montecarlo.statistics import (integrated_autocorrelation_time,
+                                            mean_and_binned_error)
+from peps_tpu.montecarlo.sweep import UpdateRule, mc_sweep
+from peps_tpu.tps import project
+
+
+@dataclasses.dataclass(frozen=True)
+class ObservableMeta:
+    key: str
+    description: str
+    shape: tuple
+    index_labels: tuple = ()
+
+
+class MeasureResult(NamedTuple):
+    stats: dict        # key -> (mean ndarray, stderr ndarray)
+    metas: dict        # key -> ObservableMeta
+    energy_autocorr_time: float
+    accept_rate: float
+    psi_samples: np.ndarray   # log|psi| per (sample, chain)
+
+
+def _one_point_diag(config, site_values):
+    """Diagonal one-point function, e.g. Sz: site_values[d] -> [Ly, Lx]."""
+    return site_values[config]
+
+
+def _row_offdiag_corr(tps, tn, config, op_a, op_b, chi, trunc, stacks):
+    """In-row correlator <A(x1) B(x2)> for all rows and x1 < x2.
+
+    Returns [Ly, Lx, Lx] (zero where x2 <= x1). op_a/op_b: [d, d] with
+    convention <c|Op|p> = op[c, p] mapping current config row entries."""
+    ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
+    dtype = tps.dtype
+
+    def per_row(top, bot, row, cands, cfg_row):
+        envs = bmps.row_envs(top, bot, row)
+        # weighted candidate tensors: csum_a[x] = sum_p op_a[c_x, p] cands[x, p]
+        wa = op_a[cfg_row]                       # [Lx, d]
+        wb = op_b[cfg_row]                       # [Lx, d]
+        ca = jnp.einsum("xp,xpuldr->xuldr", wa.astype(dtype), cands)
+        cb = jnp.einsum("xp,xpuldr->xuldr", wb.astype(dtype), cands)
+        psi_loc = jnp.einsum(
+            "xuldr,xuldr->x",
+            bmps.punch_holes_row(envs, top, bot), row)
+
+        def for_x1(x1):
+            # walker: E starts as lefts[x1] . col(ca[x1]); then propagate
+            start = bmps._col_transfer_left(envs.lefts[x1], top[x1], ca[x1],
+                                            bot[x1])
+
+            def scan_x(carry, x):
+                e = carry
+                # correlation at x (only valid for x > x1)
+                closed = bmps._col_transfer_left(e, top[x], cb[x], bot[x])
+                val = jnp.einsum("alc,alc->", closed, envs.rights[x + 1])
+                e_next = bmps._col_transfer_left(e, top[x], row[x], bot[x])
+                return e_next, val
+
+            _, vals = jax.lax.scan(scan_x, start, jnp.arange(lx))
+            mask = jnp.arange(lx) > x1
+            psi_ref = jnp.where(psi_loc[x1] == 0, 1.0, psi_loc[x1])
+            return jnp.where(mask, vals / psi_ref, 0.0)
+
+        return jax.vmap(for_x1)(jnp.arange(lx))   # [Lx(x1), Lx(x2)]
+
+    return jax.vmap(per_row)(stacks.tops[:ly], stacks.bots[1:], tn, tps,
+                             config)
+
+
+def standard_spin_observables(d: int = 2):
+    """Observable set for spin-1/2 models (reference: the measurement solvers'
+    registries, e.g. square_spin_onehalf_xxz_obc.h)."""
+    sz = np.array([0.5, -0.5] if d == 2 else np.arange(d) - (d - 1) / 2)
+    sp = np.array([[0.0, 1.0], [0.0, 0.0]])
+    sm = sp.T
+    return {"sz_values": sz, "op_a": sp, "op_b": sm}
+
+
+@dataclasses.dataclass(frozen=True)
+class MeasurementParams:
+    """Reference: MCMeasurementParams (vmc_peps_optimizer_params.h:167)."""
+    num_samples: int = 500
+    num_warmup_sweeps: int = 100
+    sweeps_between_samples: int = 1
+    nchains: int = 64
+    measure_offdiag_corr: bool = True
+
+
+def measure(tps: jnp.ndarray, model, params: MeasurementParams,
+            chi: int, trunc: TruncParams, rule: UpdateRule,
+            configs: jnp.ndarray, key: jax.Array,
+            dump_dir: str | None = None) -> MeasureResult:
+    """Run the measurement loop and aggregate statistics."""
+    ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
+    mt = model if isinstance(model, ModelTensors) else \
+        ModelTensors.from_model(model, tps.dtype)
+    obs = standard_spin_observables(d) if d == 2 else None
+    nc = configs.shape[0]
+    tps_t = transpose_tps(tps)
+
+    def per_sample(cfg):
+        res = local_energy_and_holes(tps, cfg, mt, chi, trunc,
+                                     with_holes=False)
+        out = {"energy": jnp.real(res.e_loc)}
+        if obs is not None:
+            sv = jnp.asarray(obs["sz_values"], res.log_abs_psi.dtype)
+            szmap = _one_point_diag(cfg, sv)
+            out["sz"] = szmap
+            flat = szmap.reshape(-1)
+            out["szsz"] = jnp.outer(flat, flat)
+        if obs is not None and params.measure_offdiag_corr:
+            tn = project(tps, cfg)
+            stacks = bmps.all_env_stacks(tn, chi, trunc)
+            op_a = jnp.asarray(obs["op_a"], tps.dtype)
+            op_b = jnp.asarray(obs["op_b"], tps.dtype)
+            out["spsm_row"] = jnp.real(_row_offdiag_corr(
+                tps, tn, cfg, op_a, op_b, chi, trunc, stacks))
+            tn_t = project(tps_t, cfg.T)
+            stacks_t = bmps.all_env_stacks(tn_t, chi, trunc)
+            out["spsm_col"] = jnp.real(_row_offdiag_corr(
+                tps_t, tn_t, cfg.T, op_a, op_b, chi, trunc, stacks_t))
+        out["log_abs_psi"] = res.log_abs_psi
+        return out
+
+    def sweep_all(cfgs, k):
+        ks = jax.random.split(k, nc + 1)
+        new, _, stats = jax.vmap(
+            mc_sweep, in_axes=(None, None, 0, 0, None, None, None))(
+            tps, tps_t, cfgs, ks[1:], chi, trunc, rule)
+        return new, ks[0], stats
+
+    @jax.jit
+    def collect(cfgs, k):
+        def step(carry, _):
+            cfgs, k, acc, tri = carry
+            for _ in range(params.sweeps_between_samples):
+                cfgs, k, stats = sweep_all(cfgs, k)
+                acc = acc + jnp.sum(stats.accepted).astype(acc.dtype)
+                tri = tri + jnp.sum(stats.trials).astype(tri.dtype)
+            vals = jax.vmap(per_sample)(cfgs)
+            return (cfgs, k, acc, tri), vals
+
+        init = (cfgs, k, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+        (cfgs, k, acc, tri), outs = jax.lax.scan(step, init, None,
+                                                 length=params.num_samples)
+        return cfgs, k, acc, tri, outs
+
+    # warm-up
+    for _ in range(params.num_warmup_sweeps):
+        key, ks = jax.random.split(key)
+        configs, _, _ = sweep_all(configs, ks)
+
+    configs, key, acc, tri, outs = collect(configs, key)
+
+    stats, metas = {}, {}
+    for k_name, arr in outs.items():
+        if k_name == "log_abs_psi":
+            continue
+        # arr: [S, C, *shape]
+        a = np.asarray(arr)
+        s, c = a.shape[:2]
+        flat = a.reshape(s, c, -1)
+        means = np.empty(flat.shape[2])
+        errs = np.empty(flat.shape[2])
+        for i in range(flat.shape[2]):
+            m, e = mean_and_binned_error(jnp.asarray(flat[:, :, i]))
+            means[i], errs[i] = float(m), float(e)
+        shape = a.shape[2:] if a.ndim > 2 else ()
+        stats[k_name] = (means.reshape(shape) if shape else means[0],
+                         errs.reshape(shape) if shape else errs[0])
+        metas[k_name] = ObservableMeta(k_name, k_name, shape)
+
+    e_samples = np.asarray(outs["energy"])
+    tau = integrated_autocorrelation_time(e_samples.reshape(e_samples.shape[0], -1))
+    result = MeasureResult(stats, metas, tau,
+                           float(acc) / max(float(tri), 1.0),
+                           np.asarray(outs["log_abs_psi"]))
+    if dump_dir:
+        dump_stats(result, dump_dir)
+    return result
+
+
+def dump_stats(result: MeasureResult, dump_dir: str) -> None:
+    """CSV dumps (reference: stats/<key>.csv + samples/psi.csv,
+    monte_carlo_peps_measurer.h:268-341)."""
+    os.makedirs(os.path.join(dump_dir, "stats"), exist_ok=True)
+    for key, (mean, err) in result.stats.items():
+        path = os.path.join(dump_dir, "stats", f"{key}.csv")
+        m = np.atleast_1d(mean).reshape(-1)
+        e = np.atleast_1d(err).reshape(-1)
+        with open(path, "w") as f:
+            f.write("index,mean,stderr\n")
+            for i, (mi, ei) in enumerate(zip(m, e)):
+                f.write(f"{i},{mi!r},{ei!r}\n")
+    os.makedirs(os.path.join(dump_dir, "samples"), exist_ok=True)
+    np.savetxt(os.path.join(dump_dir, "samples", "log_abs_psi.csv"),
+               result.psi_samples.reshape(result.psi_samples.shape[0], -1),
+               delimiter=",")

@@ -1,0 +1,90 @@
+"""VMC optimization executor: engine + evaluator + optimizer glued together.
+
+Reference: `VMCPEPSOptimizer` (vmc_peps_optimizer.h, impl :106): warm-up ->
+IterativeOptimize(evaluator) -> dump final/lowest states. TPU version is a
+thin host-side driver over jitted kernels; there is no broadcast step (the
+state is a single device array, sharded chains see it automatically).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from peps_tpu.algorithm.energy import ModelTensors
+from peps_tpu.algorithm.mc_evaluator import MCParams, mc_energy_grad
+from peps_tpu.linalg import TruncParams
+from peps_tpu.montecarlo.engine import (ChainState, ensure_validity,
+                                        init_configs_occupancy,
+                                        init_configs_uniform,
+                                        normalize_state_order1)
+from peps_tpu.montecarlo.sweep import UpdateRule, mc_sweep
+from peps_tpu.lattice import transpose_tps
+from peps_tpu.optimizer.optimizer import (OptimizeResult, OptimizerParams,
+                                          iterative_optimize)
+
+
+@dataclasses.dataclass(frozen=True)
+class VMCParams:
+    """Reference: VMCPEPSOptimizerParams (vmc_peps_optimizer_params.h:22)."""
+    chi: int
+    trunc: TruncParams
+    mc: MCParams
+    optimizer: OptimizerParams
+    rule: UpdateRule = UpdateRule("exchange")
+    occupancy: tuple | None = None   # ((state, count), ...) or None = uniform
+
+
+class VMCResult(NamedTuple):
+    state: jnp.ndarray
+    lowest_state: jnp.ndarray
+    energies: list
+    lowest_energy: float
+    records: list
+    final_configs: jnp.ndarray
+
+
+def vmc_optimize(tps: jnp.ndarray, model, params: VMCParams,
+                 key: jax.Array, callback=None) -> VMCResult:
+    ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
+    mt = model if isinstance(model, ModelTensors) else \
+        ModelTensors.from_model(model, tps.dtype)
+
+    key, k_init, k_rescue = jax.random.split(key, 3)
+    if params.occupancy is not None:
+        configs = init_configs_occupancy(k_init, params.mc.nchains, ly, lx,
+                                         dict(params.occupancy))
+    else:
+        configs = init_configs_uniform(k_init, params.mc.nchains, ly, lx, d)
+    configs, _ = ensure_validity(tps, configs, k_rescue, params.chi,
+                                 params.trunc)
+    tps = normalize_state_order1(tps, configs, params.chi, params.trunc)
+
+    # warm-up
+    tps_t = transpose_tps(tps)
+    warm = jax.jit(lambda t, tt, cfgs, k: jax.vmap(
+        mc_sweep, in_axes=(None, None, 0, 0, None, None, None))(
+        t, tt, cfgs, jax.random.split(k, cfgs.shape[0]), params.chi,
+        params.trunc, params.rule))
+    for _ in range(params.mc.num_warmup_sweeps):
+        key, k_s = jax.random.split(key)
+        configs, _, _ = warm(tps, tps_t, configs, k_s)
+
+    # evaluator closure with persistent sampler state
+    sampler = {"configs": configs, "key": key}
+    needs_sr = type(params.optimizer.algorithm).__name__ in ("SRParams",
+                                                             "MinSRParams")
+
+    def evaluate(state, step):
+        ev, cfgs, k, log_psi = mc_energy_grad(
+            state, sampler["configs"], sampler["key"], mt, params.chi,
+            params.trunc, params.rule, params.mc, with_sr_buffers=needs_sr)
+        sampler["configs"], sampler["key"] = cfgs, k
+        return ev
+
+    result = iterative_optimize(tps, evaluate, params.optimizer,
+                                callback=callback)
+    return VMCResult(result.state, result.lowest_state, result.energies,
+                     result.lowest_energy, result.records, sampler["configs"])

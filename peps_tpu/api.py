@@ -1,0 +1,36 @@
+"""Public one-call API (reference: `api/vmc_api.h` VmcOptimize :80 /
+MonteCarloMeasure :138 and `api/conversions.h`)."""
+from __future__ import annotations
+
+from peps_tpu.algorithm.measure import (MeasurementParams, MeasureResult,
+                                        measure)
+from peps_tpu.algorithm.mc_evaluator import MCParams
+from peps_tpu.algorithm.vmc_optimize import VMCParams, VMCResult, vmc_optimize
+from peps_tpu.algorithm.exact_sum import (all_configs, exact_sum_evaluation,
+                                          exact_sum_energy_gradient,
+                                          sector_configs)
+from peps_tpu.lattice import BoundaryCondition
+from peps_tpu.linalg import TruncParams
+from peps_tpu.montecarlo.engine import (init_configs_occupancy,
+                                        init_configs_uniform)
+from peps_tpu.montecarlo.sweep import UpdateRule
+from peps_tpu.optimizer.optimizer import (AdaGradParams, AdamParams,
+                                          LBFGSParams, MinSRParams,
+                                          OptimizerParams, SGDParams,
+                                          SRParams)
+from peps_tpu.peps import (PEPS, SimpleUpdateParams, product_peps,
+                           simple_update, to_tps)
+from peps_tpu.tps import load_tps, project, random_tps, save_tps
+
+__all__ = [
+    "BoundaryCondition", "TruncParams", "UpdateRule",
+    "MCParams", "MeasurementParams", "MeasureResult", "measure",
+    "VMCParams", "VMCResult", "vmc_optimize",
+    "all_configs", "sector_configs", "exact_sum_evaluation",
+    "exact_sum_energy_gradient",
+    "init_configs_occupancy", "init_configs_uniform",
+    "SGDParams", "AdaGradParams", "AdamParams", "SRParams", "MinSRParams",
+    "LBFGSParams", "OptimizerParams",
+    "PEPS", "SimpleUpdateParams", "product_peps", "simple_update", "to_tps",
+    "random_tps", "project", "save_tps", "load_tps",
+]

@@ -1,0 +1,57 @@
+"""Monte Carlo statistics: means, binned errors, autocorrelation.
+
+Reference: `vmc_basic/monte_carlo_tools/statistics.h`
+(`MeanAndBinnedErrorSqrtNUniformBin` :147) and the measurer's autocorrelation
+helpers (`monte_carlo_peps_measurer.h:54-114`).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def mean_and_binned_error(samples: jnp.ndarray):
+    """samples: [S] or [S, C] (sweeps x chains). Bins of size ~sqrt(S) along
+    the sweep axis absorb autocorrelation; chains are independent.
+
+    Returns (mean, stderr)."""
+    samples = jnp.asarray(samples)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    s, c = samples.shape
+    nbins = max(int(np.sqrt(s)), 1)
+    bin_len = s // nbins
+    usable = nbins * bin_len
+    binned = samples[:usable].reshape(nbins, bin_len, c).mean(axis=1)  # [B, C]
+    mean = jnp.mean(binned)
+    n_indep = nbins * c
+    var = jnp.var(binned) if n_indep > 1 else jnp.zeros_like(mean)
+    stderr = jnp.sqrt(var / jnp.maximum(n_indep - 1, 1))
+    return mean, stderr
+
+
+def autocorrelation(samples: np.ndarray, max_lag: int | None = None) -> np.ndarray:
+    """Normalized autocorrelation function along axis 0 (host-side)."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    s = x.shape[0]
+    if max_lag is None:
+        max_lag = min(s // 4, 100)
+    xc = x - x.mean(axis=0, keepdims=True)
+    var = (xc ** 2).mean()
+    out = np.empty(max_lag + 1)
+    for lag in range(max_lag + 1):
+        out[lag] = (xc[:s - lag] * xc[lag:]).mean() / max(var, 1e-300)
+    return out
+
+
+def integrated_autocorrelation_time(samples: np.ndarray) -> float:
+    """tau_int = 1/2 + sum rho(lag), truncated at first negative."""
+    rho = autocorrelation(samples)
+    tau = 0.5
+    for lag in range(1, len(rho)):
+        if rho[lag] <= 0:
+            break
+        tau += rho[lag]
+    return float(tau)

@@ -1,0 +1,77 @@
+"""MC sampler stationarity: the empirical configuration distribution after
+many sweeps must match |psi(s)|^2 / Z exactly computed by brute force.
+
+This validates the whole sequential-sweep + environment-reuse machinery and
+both update rules (reference analogue: Suwa-Todo stationarity tests +
+mc-engine tests, SURVEY.md §4.1/4.4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from peps_tpu.linalg import TruncParams
+from peps_tpu.montecarlo.engine import (ChainState, MonteCarloEngine,
+                                        init_configs_occupancy,
+                                        init_configs_uniform)
+from peps_tpu.montecarlo.sweep import UpdateRule
+from peps_tpu.tps import exact_amplitude, random_tps
+
+LY, LX, D, CHI = 2, 2, 2, 8
+TP = TruncParams(CHI, 1, 0.0)
+
+
+def _exact_probs(tps, configs):
+    ps = np.array([abs(exact_amplitude(np.asarray(tps), c)) ** 2
+                   for c in configs])
+    return ps / ps.sum()
+
+
+def _run_chain_histogram(tps, rule, configs0, key, n_sweeps, all_cfg):
+    eng = MonteCarloEngine(tps, CHI, TP, rule, ChainState(configs0, key))
+    counts = np.zeros(len(all_cfg))
+    lookup = {tuple(c.ravel()): i for i, c in enumerate(all_cfg)}
+    eng.warm_up(50)
+    for _ in range(n_sweeps):
+        eng.step_sweep()
+        for cfg in np.asarray(eng.state.configs):
+            counts[lookup[tuple(cfg.ravel())]] += 1
+    return counts / counts.sum()
+
+
+@pytest.mark.slow
+def test_exchange_stationary_distribution():
+    key = jax.random.PRNGKey(0)
+    tps = random_tps(key, LY, LX, 2, D, dtype=jnp.float64, scale=0.9)
+    # sector: two up, two down
+    from peps_tpu.algorithm.exact_sum import sector_configs
+    cfgs = sector_configs(LY, LX, {0: 2, 1: 2})
+    probs = _exact_probs(tps, cfgs)
+    c0 = init_configs_occupancy(jax.random.PRNGKey(1), 24, LY, LX, {0: 2, 1: 2})
+    emp = _run_chain_histogram(tps, UpdateRule("exchange"), c0,
+                               jax.random.PRNGKey(2), 400, cfgs)
+    assert np.max(np.abs(emp - probs)) < 0.02, (emp, probs)
+
+
+@pytest.mark.slow
+def test_suwa_todo_stationary_distribution():
+    key = jax.random.PRNGKey(3)
+    tps = random_tps(key, LY, LX, 2, D, dtype=jnp.float64, scale=0.9)
+    from peps_tpu.algorithm.exact_sum import all_configs
+    cfgs = all_configs(LY, LX, 2)
+    probs = _exact_probs(tps, cfgs)
+    c0 = init_configs_uniform(jax.random.PRNGKey(4), 24, LY, LX, 2)
+    emp = _run_chain_histogram(tps, UpdateRule("suwa_todo"), c0,
+                               jax.random.PRNGKey(5), 400, cfgs)
+    assert np.max(np.abs(emp - probs)) < 0.02, (emp, probs)
+
+
+def test_exchange_conserves_occupancy():
+    key = jax.random.PRNGKey(7)
+    tps = random_tps(key, 3, 3, 2, 2, dtype=jnp.float64, scale=0.9)
+    c0 = init_configs_occupancy(jax.random.PRNGKey(8), 8, 3, 3, {0: 5, 1: 4})
+    eng = MonteCarloEngine(tps, 8, TP, UpdateRule("exchange"),
+                           ChainState(c0, jax.random.PRNGKey(9)))
+    eng.warm_up(5)
+    cfg = np.asarray(eng.state.configs)
+    assert np.all((cfg == 0).sum(axis=(1, 2)) == 5)
+    assert np.all((cfg == 1).sum(axis=(1, 2)) == 4)
