@@ -20,6 +20,8 @@ import numpy as np
 
 from peps_tpu.algorithm.energy import (EnergyHoles, ModelTensors,
                                        local_energy_and_holes, rdtype)
+from peps_tpu.algorithm.energy_pbc import local_energy_and_holes_pbc
+from peps_tpu.lattice import BoundaryCondition
 from peps_tpu.linalg import TruncParams
 
 
@@ -49,20 +51,24 @@ class ExactSumResult(NamedTuple):
     weight_sum: jnp.ndarray  # sum over |psi|^2 (mantissa scale)
 
 
-@partial(jax.jit, static_argnames=("chi", "trunc", "with_grad", "batch_size"))
+@partial(jax.jit, static_argnames=("chi", "trunc", "with_grad", "batch_size",
+                                   "bc"))
 def exact_sum_energy_gradient(tps: jnp.ndarray, configs: jnp.ndarray,
                               model: ModelTensors, chi: int,
                               trunc: TruncParams,
                               with_grad: bool = True,
-                              batch_size: int | None = None) -> ExactSumResult:
+                              batch_size: int | None = None,
+                              bc: BoundaryCondition = BoundaryCondition.OPEN) -> ExactSumResult:
     """Exact <H> and gradient over an enumerated configuration set.
 
     Gradient convention: for complex parameters returns dE/d(theta*)
     (Wirtinger); for real parameters returns the true gradient dE/d(theta)
     = 2 Re <(E_loc - E) O*>.
     """
-    evaluate = lambda cfg: local_energy_and_holes(tps, cfg, model, chi, trunc,
-                                                  with_holes=with_grad)
+    local = (local_energy_and_holes_pbc if bc == BoundaryCondition.PERIODIC
+             else local_energy_and_holes)
+    evaluate = lambda cfg: local(tps, cfg, model, chi, trunc,
+                                 with_holes=with_grad)
     if batch_size is None:
         res = jax.vmap(evaluate)(configs)
     else:
@@ -90,19 +96,21 @@ def exact_sum_energy_gradient(tps: jnp.ndarray, configs: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("chi", "trunc", "with_sr_buffers",
-                                   "batch_size"))
+                                   "batch_size", "bc"))
 def exact_sum_evaluation(tps: jnp.ndarray, configs: jnp.ndarray,
                          model: ModelTensors, chi: int, trunc: TruncParams,
                          with_sr_buffers: bool = False,
-                         batch_size: int | None = None):
+                         batch_size: int | None = None,
+                         bc: BoundaryCondition = BoundaryCondition.OPEN):
     """Full Evaluation (for the optimizer): energy, gradient, and optionally
     the centered sqrt-weighted O-sample matrix A and residuals eps such that
       S = A^H A,   gradient = A^H eps   (x2 for real dtype).
     """
     from peps_tpu.optimizer.optimizer import Evaluation
 
-    evaluate = lambda cfg: local_energy_and_holes(tps, cfg, model, chi, trunc,
-                                                  with_holes=True)
+    local = (local_energy_and_holes_pbc if bc == BoundaryCondition.PERIODIC
+             else local_energy_and_holes)
+    evaluate = lambda cfg: local(tps, cfg, model, chi, trunc, with_holes=True)
     if batch_size is None:
         res = jax.vmap(evaluate)(configs)
     else:

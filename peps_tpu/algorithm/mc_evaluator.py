@@ -16,10 +16,12 @@ import jax
 import jax.numpy as jnp
 
 from peps_tpu.algorithm.energy import ModelTensors, local_energy_and_holes
-from peps_tpu.lattice import transpose_tps
+from peps_tpu.algorithm.energy_pbc import local_energy_and_holes_pbc
+from peps_tpu.lattice import BoundaryCondition, transpose_tps
 from peps_tpu.linalg import TruncParams
 from peps_tpu.montecarlo.statistics import mean_and_binned_error
 from peps_tpu.montecarlo.sweep import UpdateRule, mc_sweep
+from peps_tpu.montecarlo.sweep_pbc import mc_sweep_pbc
 from peps_tpu.optimizer.optimizer import Evaluation
 
 
@@ -33,23 +35,32 @@ class MCParams:
 
 
 @partial(jax.jit, static_argnames=("chi", "trunc", "rule",
-                                   "n_samples", "sweeps_between", "with_sr"))
+                                   "n_samples", "sweeps_between", "with_sr",
+                                   "bc"))
 def _mc_collect(tps, configs, key, model: ModelTensors, chi, trunc, rule,
-                n_samples, sweeps_between, with_sr):
+                n_samples, sweeps_between, with_sr,
+                bc=BoundaryCondition.OPEN):
     """Scan the sample loop; returns e_locs [S, C], o sum / e*o sum (or full
     SR buffers), acceptance stats, final configs/key."""
     tps_t = transpose_tps(tps)
     nc = configs.shape[0]
+    periodic = bc == BoundaryCondition.PERIODIC
 
     def sweep_all(configs, key):
         keys = jax.random.split(key, nc + 1)
-        cfgs, _, stats = jax.vmap(
-            mc_sweep, in_axes=(None, None, 0, 0, None, None, None))(
-            tps, tps_t, configs, keys[1:], chi, trunc, rule)
+        if periodic:
+            cfgs, _, stats = jax.vmap(
+                mc_sweep_pbc, in_axes=(None, 0, 0, None, None, None))(
+                tps, configs, keys[1:], chi, trunc, rule)
+        else:
+            cfgs, _, stats = jax.vmap(
+                mc_sweep, in_axes=(None, None, 0, 0, None, None, None))(
+                tps, tps_t, configs, keys[1:], chi, trunc, rule)
         return cfgs, keys[0], stats
 
     def eval_all(configs):
-        return jax.vmap(lambda c: local_energy_and_holes(
+        local = local_energy_and_holes_pbc if periodic else local_energy_and_holes
+        return jax.vmap(lambda c: local(
             tps, c, model, chi, trunc, with_holes=True))(configs)
 
     def step(carry, _):
@@ -75,7 +86,8 @@ def _mc_collect(tps, configs, key, model: ModelTensors, chi, trunc, rule,
 
 def mc_energy_grad(tps, configs, key, model: ModelTensors, chi: int,
                    trunc: TruncParams, rule: UpdateRule, params: MCParams,
-                   with_sr_buffers: bool = False):
+                   with_sr_buffers: bool = False,
+                   bc: BoundaryCondition = BoundaryCondition.OPEN):
     """One VMC energy/gradient estimate. Returns (Evaluation, configs', key').
 
     Gradient (uniform |psi|^2 sampling): g = <conj(O)(E_loc - E)> over all
@@ -83,7 +95,8 @@ def mc_energy_grad(tps, configs, key, model: ModelTensors, chi: int,
     evaluator's convention so optimizers are interchangeable)."""
     configs, key, acc, tri, outs = _mc_collect(
         tps, configs, key, model, chi, trunc, rule,
-        params.num_samples, params.sweeps_between_samples, with_sr_buffers)
+        params.num_samples, params.sweeps_between_samples, with_sr_buffers,
+        bc)
     e_locs, o_full, o_sum, eo_sum, log_psi = outs
 
     s, c = e_locs.shape

@@ -140,3 +140,61 @@ def expm_taylor(mat: jax.Array, order: int = 16) -> jax.Array:
         term = term @ mat / n
         acc = acc + term
     return acc
+
+
+# ---------------------------------------------------------------------------
+# Degenerate-safe SVD for use inside autodiff (TRG hole back-propagation).
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def svd_safe(mat):
+    """SVD whose VJP regularizes the 1/(s_i^2 - s_j^2) factors, so gradients
+    stay finite for (near-)degenerate or zero singular values — required when
+    differentiating through padded/truncated decompositions (the reference
+    faces the same issue in TRG hole backpropagation and regularizes S^-1/2,
+    trg_contractor.h `inv_relative_eps` docs)."""
+    return jnp.linalg.svd(mat, full_matrices=False)
+
+
+def _svd_safe_fwd(mat):
+    out = jnp.linalg.svd(mat, full_matrices=False)
+    return out, (out, mat.shape)
+
+
+def _svd_safe_bwd(res, cotangents):
+    (u, s, vh), shape = res
+    du, ds, dvh = cotangents
+    m, n = shape[-2], shape[-1]
+    k = s.shape[-1]
+    s2 = s * s
+    eps = 1e-12 * jnp.maximum(jnp.max(s2), 1e-300)
+    diff = s2[..., None, :] - s2[..., :, None]          # [k, k]
+    f = diff / (diff * diff + eps)                       # regularized 1/diff
+    f = f * (1.0 - jnp.eye(k, dtype=f.dtype))
+    s_safe = jnp.where(s > 0, s, 1.0)
+    sinv = jnp.where(s > 0, 1.0 / s_safe, 0.0)
+
+    uh_du = jnp.conj(u.T) @ du if du is not None else jnp.zeros((k, k), u.dtype)
+    v = jnp.conj(vh.T)
+    dv = jnp.conj(dvh.T) if dvh is not None else jnp.zeros_like(v)
+    vh_dv = vh @ dv
+
+    j_u = f * uh_du
+    j_v = f * vh_dv
+    # core formula (see e.g. Townsend 2016, complex-safe variant)
+    s_d = jnp.diag(s.astype(u.dtype))
+    term = (j_u + jnp.conj(j_u.T)) @ s_d + s_d @ (j_v + jnp.conj(j_v.T))
+    if ds is not None:
+        term = term + jnp.diag(ds.astype(u.dtype))
+    dmat = u @ term @ vh
+    # off-range contributions for rectangular matrices
+    if m > k and du is not None:
+        proj = jnp.eye(m, dtype=u.dtype) - u @ jnp.conj(u.T)
+        dmat = dmat + proj @ du @ jnp.diag(sinv.astype(u.dtype)) @ vh
+    if n > k and dvh is not None:
+        proj = jnp.eye(n, dtype=u.dtype) - v @ vh
+        dmat = dmat + u @ jnp.diag(sinv.astype(u.dtype)) @ jnp.conj(dv.T) @ proj
+    return (dmat,)
+
+
+svd_safe.defvjp(_svd_safe_fwd, _svd_safe_bwd)

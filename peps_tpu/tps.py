@@ -127,3 +127,29 @@ def exact_contract(tn: np.ndarray) -> complex:
 
 def exact_amplitude(tps: np.ndarray, config: np.ndarray) -> complex:
     return exact_contract(np.asarray(project(jnp.asarray(tps), jnp.asarray(config))))
+
+
+def exact_contract_pbc(tn: np.ndarray) -> complex:
+    """Exactly contract a small PERIODIC network [n, n, u, l, d, r] by
+    building row transfer matrices over the vertical-bond product space and
+    tracing. Test oracle for the PBC contractor (exponential in n)."""
+    tn = np.asarray(tn)
+    ly, lx, D = tn.shape[0], tn.shape[1], tn.shape[2]
+    # row y transfer operator: M[(u_0..u_{lx-1}), (d_0..)] summed over the
+    # periodic horizontal bonds of the row
+    total = None
+    for y in range(ly):
+        # chain of tensors over x with l/r contracted periodically:
+        # start with T[y,0] legs (u0, l0, d0, r0); absorb x=1..lx-1
+        w = tn[y, 0]  # [u, l, d, r]
+        w = np.moveaxis(w, 1, 0)  # [l0, u0, d0, r0]
+        for x in range(1, lx):
+            w = np.tensordot(w, tn[y, x], axes=([-1], [1]))
+            # w: [l0, u0, d0, .., u_x, d_x, r_x]
+        # close horizontal PBC: contract r_{lx-1} with l0
+        w = np.trace(w, axis1=0, axis2=w.ndim - 1)
+        # w axes: (u0, d0, u1, d1, ..., u_{lx-1}, d_{lx-1})
+        perm = list(range(0, 2 * lx, 2)) + list(range(1, 2 * lx, 2))
+        w = np.transpose(w, perm).reshape(D ** lx, D ** lx)
+        total = w if total is None else total @ w
+    return np.trace(total)

@@ -1,0 +1,150 @@
+"""PBC contractor + evaluator + sampler tests against ED / brute force.
+
+Reference analogue: test_trg_contractor.cpp, TFIM/Heisenberg/J1J2 PBC tests
+(SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from peps_tpu.algorithm.energy import ModelTensors
+from peps_tpu.algorithm.exact_sum import (all_configs,
+                                          exact_sum_energy_gradient,
+                                          exact_sum_evaluation)
+from peps_tpu.contraction.pbc import contract_pbc, punch_all_holes_pbc
+from peps_tpu.lattice import BoundaryCondition
+from peps_tpu.linalg import TruncParams
+from peps_tpu.models import spin
+from peps_tpu.tps import exact_contract_pbc, project, random_tps
+from tests.ed_oracle import build_hamiltonian, wavefunction_from_tps
+
+PBC = BoundaryCondition.PERIODIC
+
+
+def _ed_energy_of_state(tps, model):
+    ly, lx = tps.shape[:2]
+    psi = wavefunction_from_tps_pbc(np.asarray(tps))
+    h = build_hamiltonian(model, ly, lx, periodic=True)
+    return float(np.real(np.vdot(psi, h @ psi) / np.vdot(psi, psi)))
+
+
+def wavefunction_from_tps_pbc(tps):
+    import itertools
+    ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
+    psi = np.zeros(d ** (ly * lx))
+    for idx, cfg in enumerate(itertools.product(range(d), repeat=ly * lx)):
+        config = np.array(cfg).reshape(ly, lx)
+        tn = project(jnp.asarray(tps), jnp.asarray(config))
+        psi[idx] = exact_contract_pbc(np.asarray(tn))
+    return psi
+
+
+@pytest.mark.parametrize("n,D,chi", [(2, 2, 8), (4, 2, 16)])
+def test_pbc_contraction_exact(n, D, chi):
+    key = jax.random.PRNGKey(n + D)
+    tps = random_tps(key, n, n, 2, D, dtype=jnp.float64, bc=PBC, scale=0.5)
+    cfg = jax.random.randint(jax.random.fold_in(key, 1), (n, n), 0, 2)
+    tn = project(tps, cfg)
+    want = exact_contract_pbc(np.asarray(tn))
+    mant, logw = contract_pbc(tn, chi, TruncParams(chi, 1, 0.0))
+    got = float(mant) * np.exp(float(logw))
+    assert abs(got - want) < 1e-8 * max(1.0, abs(want))
+
+
+@pytest.mark.parametrize("name,model", [
+    ("heisenberg", spin.heisenberg(1.0)),
+    ("tfim", spin.transverse_field_ising(1.0, 3.0)),
+    ("j1j2", spin.j1j2_xxz(1.0, 1.0, 0.5, 0.5)),
+])
+def test_pbc_exact_sum_energy_matches_ed(name, model):
+    n, D, chi = 2, 2, 16
+    key = jax.random.PRNGKey(hash(name) % 2**31)
+    tps = random_tps(key, n, n, model.phys_dim, D, dtype=jnp.float64,
+                     bc=PBC, scale=0.7)
+    mt = ModelTensors.from_model(model, jnp.float64)
+    configs = jnp.asarray(all_configs(n, n, model.phys_dim))
+    res = exact_sum_energy_gradient(tps, configs, mt, chi,
+                                    TruncParams(chi, 1, 0.0),
+                                    with_grad=False, bc=PBC)
+    want = _ed_energy_of_state(tps, model)
+    assert abs(float(res.energy) - want) < 1e-7 * max(1.0, abs(want)), name
+
+
+def test_pbc_exact_sum_gradient_fd():
+    n, D, chi = 2, 2, 16
+    model = spin.heisenberg(1.0)
+    tps = random_tps(jax.random.PRNGKey(2), n, n, 2, D, dtype=jnp.float64,
+                     bc=PBC, scale=0.7)
+    mt = ModelTensors.from_model(model, jnp.float64)
+    configs = jnp.asarray(all_configs(n, n, 2))
+    tp = TruncParams(chi, 1, 0.0)
+    res = exact_sum_energy_gradient(tps, configs, mt, chi, tp, bc=PBC)
+    v = jax.random.normal(jax.random.PRNGKey(3), tps.shape, jnp.float64)
+    eps = 1e-6
+    ep = exact_sum_energy_gradient(tps + eps * v, configs, mt, chi, tp,
+                                   with_grad=False, bc=PBC).energy
+    em = exact_sum_energy_gradient(tps - eps * v, configs, mt, chi, tp,
+                                   with_grad=False, bc=PBC).energy
+    fd = (float(ep) - float(em)) / (2 * eps)
+    anl = float(jnp.vdot(res.gradient, v).real)
+    assert abs(fd - anl) < 1e-5 * max(1.0, abs(fd)), (fd, anl)
+
+
+@pytest.mark.slow
+def test_pbc_suwa_todo_stationary():
+    from peps_tpu.montecarlo.sweep import UpdateRule
+    from peps_tpu.montecarlo.sweep_pbc import mc_sweep_pbc
+    n, D, chi = 2, 2, 8
+    tps = random_tps(jax.random.PRNGKey(9), n, n, 2, D, dtype=jnp.float64,
+                     bc=PBC, scale=0.8)
+    tp = TruncParams(chi, 1, 0.0)
+    cfgs = all_configs(n, n, 2)
+    psi = wavefunction_from_tps_pbc(np.asarray(tps))
+    probs = np.abs(psi) ** 2
+    probs /= probs.sum()
+    rule = UpdateRule("suwa_todo")
+    sweep = jax.jit(lambda c, k: mc_sweep_pbc(tps, c, k, chi, tp, rule))
+    counts = np.zeros(len(cfgs))
+    lookup = {tuple(c.ravel()): i for i, c in enumerate(cfgs)}
+    nchains = 16
+    state = [jax.random.randint(jax.random.PRNGKey(i), (n, n), 0, 2)
+             for i in range(nchains)]
+    keys = [jax.random.PRNGKey(100 + i) for i in range(nchains)]
+    for i in range(nchains):
+        for _ in range(20):
+            state[i], keys[i], _ = sweep(state[i], keys[i])
+    for _ in range(300):
+        for i in range(nchains):
+            state[i], keys[i], _ = sweep(state[i], keys[i])
+            counts[lookup[tuple(np.asarray(state[i]).ravel())]] += 1
+    emp = counts / counts.sum()
+    assert np.max(np.abs(emp - probs)) < 0.025, (emp, probs)
+
+
+@pytest.mark.slow
+def test_pbc_vmc_sr_reaches_ed():
+    """2x2 TFIM PBC: exact-sum SR optimization reaches the ED ground state."""
+    from peps_tpu.optimizer import optimizer as opt
+    from peps_tpu.optimizer.cg import CGParams
+    from tests.ed_oracle import ground_energy
+    n, D, chi = 2, 2, 16
+    model = spin.transverse_field_ising(1.0, 3.0)
+    e_ed = ground_energy(model, n, n, periodic=True)
+    mt = ModelTensors.from_model(model, jnp.float64)
+    configs = jnp.asarray(all_configs(n, n, 2))
+    tp = TruncParams(chi, 1, 0.0)
+    tps = random_tps(jax.random.PRNGKey(11), n, n, 2, D, dtype=jnp.float64,
+                     bc=PBC, scale=0.5)
+
+    def evaluate(state, step):
+        return exact_sum_evaluation(state, configs, mt, chi, tp,
+                                    with_sr_buffers=True, bc=PBC)
+
+    params = opt.OptimizerParams(
+        max_iters=60,
+        algorithm=opt.SRParams(cg=CGParams(max_iter=200, tol=1e-8),
+                               diag_shift=1e-3),
+        lr=0.1)
+    result = opt.iterative_optimize(tps, evaluate, params)
+    assert result.lowest_energy < e_ed + 2e-3 * abs(e_ed), \
+        (result.lowest_energy, e_ed)
