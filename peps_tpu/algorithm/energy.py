@@ -242,3 +242,138 @@ def local_energy_and_holes(tps: jnp.ndarray, config: jnp.ndarray,
 
 def rdtype(x):
     return x.real.dtype if jnp.iscomplexobj(x) else x.dtype
+
+
+class RatioTables(NamedTuple):
+    """Amplitude-ratio tables psi(s')/psi(s) from shared environments.
+
+    ratio1:  [Ly, Lx, d]        one-site replacements
+    ratio_h: [Ly, Lx-1, d, d]   horizontal NN pair replacements
+    ratio_v: [Ly-1, Lx, d, d]   vertical NN pair replacements (or None)
+    ratio_d: [Ly-1, Lx-1, d, d] diagonal (y,x)-(y+1,x+1) (or None)
+    ratio_ad:[Ly-1, Lx-1, d, d] anti-diagonal (y+1,x)-(y,x+1) (or None)
+    o_tensor: O = dlnpsi/dA (or None)
+    psi_loc: [Ly, Lx] local psi mantissas
+    """
+    ratio1: jnp.ndarray
+    ratio_h: jnp.ndarray
+    ratio_v: jnp.ndarray | None
+    ratio_d: jnp.ndarray | None
+    ratio_ad: jnp.ndarray | None
+    o_tensor: jnp.ndarray | None
+    psi_loc: jnp.ndarray
+    log_abs_psi: jnp.ndarray
+    psi_mant: jnp.ndarray
+
+
+def compute_ratio_tables(tps, config, chi, trunc, need=("h",),
+                         with_holes=True) -> RatioTables:
+    """All ratio tables needed by any (bosonic or fermionic) model.
+
+    need: subset of {"h", "v", "d", "ad"} selecting which pair tables to
+    compute (static)."""
+    ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
+    tn = project(tps, config)
+    stacks = bmps.all_env_stacks(tn, chi, trunc)
+
+    def per_row(top, bot, row, row_cands):
+        envs = bmps.row_envs(top, bot, row)
+        holes = bmps.punch_holes_row(envs, top, bot)
+        psi_loc = jnp.einsum("xuldr,xuldr->x", holes, row)
+        ones = jnp.einsum("xuldr,xpuldr->xp", holes, row_cands)
+        nn = bmps.replace_nn_site_traces(envs, top, bot,
+                                         row_cands[:lx - 1], row_cands[1:])
+        return holes, psi_loc, ones, nn
+
+    holes, psi_loc, ones, nn = jax.vmap(per_row)(
+        stacks.tops[:ly], stacks.bots[1:], tn, tps)
+    safe_psi = jnp.where(psi_loc == 0, 1.0, psi_loc)
+    ratio1 = ones / safe_psi[..., None]
+
+    c1, c2 = config[:, :lx - 1], config[:, 1:]
+    psi_b = jnp.take_along_axis(
+        jnp.take_along_axis(nn, c1[:, :, None, None], axis=2).squeeze(2),
+        c2[:, :, None], axis=2).squeeze(2)
+    safe_b = jnp.where(psi_b == 0, 1.0, psi_b)
+    ratio_h = nn / safe_b[:, :, None, None]
+
+    o_tensor = None
+    if with_holes:
+        sel = jax.nn.one_hot(config, d, dtype=tps.dtype)
+        o_tensor = (holes / safe_psi[:, :, None, None, None, None])[:, :, None] \
+            * sel[:, :, :, None, None, None, None]
+
+    ratio_v = ratio_d = ratio_ad = None
+    if any(k in need for k in ("v", "d", "ad")):
+        tabs = _pair_tables(tps, tn, config, stacks,
+                            "v" in need, "d" in need, "ad" in need)
+        ratio_v, ratio_d, ratio_ad = tabs
+
+    final = stacks.tops[ly]
+    v0 = bmps.e0(final.shape[1], tn.dtype)
+
+    def close_step(v, b_x):
+        return v @ b_x[:, 0, :], None
+    v, _ = jax.lax.scan(close_step, v0, final)
+    mant = v[0]
+    log_abs = jnp.log(jnp.maximum(jnp.abs(mant), jnp.finfo(rdtype(tn)).tiny)) \
+        + stacks.log_tops[ly]
+    return RatioTables(ratio1, ratio_h, ratio_v, ratio_d, ratio_ad,
+                       o_tensor, psi_loc, log_abs, mant)
+
+
+def _pair_tables(tps, tn, config, stacks, want_v, want_d, want_ad):
+    """Normalized ratio tables for vertical/diagonal/anti-diagonal pairs."""
+    ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
+    dtype = tps.dtype
+
+    def per_pair(top, bot, row1, row2, cands1, cands2, c1, c2):
+        lefts, rights = _pair_row_envs(top, bot, row1, row2, dtype)
+        out_v = out_d = out_ad = None
+
+        if want_v:
+            t = jnp.einsum("xamnc,xauA->xmncuA", lefts[:lx], top)
+            t = jnp.einsum("xmncuA,xpumdr->xpncAdr", t, cands1)
+            t = jnp.einsum("xpncAdr,xqdnef->xpqcAref", t, cands2)
+            t = jnp.einsum("xpqcAref,xceC->xpqArfC", t, bot)
+            table = jnp.einsum("xpqArfC,xArfC->xpq", t, rights[1:])
+            psi_b = table[jnp.arange(lx), c1, c2]
+            safe = jnp.where(psi_b == 0, 1.0, psi_b)
+            out_v = table / safe[:, None, None]
+
+        nb = lx - 1
+        if nb > 0 and (want_d or want_ad):
+            tl, bl = top[:nb], bot[:nb]
+            tr, br = top[1:], bot[1:]
+            t0 = jnp.einsum("xamnc,xauA->xmncuA", lefts[:nb], tl)
+            s0 = jnp.einsum("xauA,xArfC->xaurfC", tr, rights[2:])
+            if want_d:
+                t = jnp.einsum("xmncuA,xpumdr->xpncAdr", t0, cands1[:nb])
+                t = jnp.einsum("xpncAdr,xdnef->xpcAref", t, row2[:nb])
+                lblk = jnp.einsum("xpcAref,xceC->xpArfC", t, bl)
+                s = jnp.einsum("xaurfC,xumdr->xamdfC", s0, row1[1:])
+                s = jnp.einsum("xamdfC,xqdnef->xqamneC", s, cands2[1:])
+                rblk = jnp.einsum("xqamneC,xceC->xqamnc", s, br)
+                table = jnp.einsum("xpABCE,xqABCE->xpq", lblk, rblk)
+                cp, cq = c1[:nb], c2[1:]
+                psi_b = table[jnp.arange(nb), cp, cq]
+                safe = jnp.where(psi_b == 0, 1.0, psi_b)
+                out_d = table / safe[:, None, None]
+            if want_ad:
+                t = jnp.einsum("xmncuA,xumdr->xncAdr", t0, row1[:nb])
+                t = jnp.einsum("xncAdr,xqdnef->xqcAref", t, cands2[:nb])
+                lblk = jnp.einsum("xqcAref,xceC->xqArfC", t, bl)
+                s = jnp.einsum("xaurfC,xpumdr->xpamdfC", s0, cands1[1:])
+                s = jnp.einsum("xpamdfC,xdnef->xpamneC", s, row2[1:])
+                rblk = jnp.einsum("xpamneC,xceC->xpamnc", s, br)
+                table = jnp.einsum("xqABCE,xpABCE->xqp", lblk, rblk)
+                cq, cp = c2[:nb], c1[1:]
+                psi_b = table[jnp.arange(nb), cq, cp]
+                safe = jnp.where(psi_b == 0, 1.0, psi_b)
+                out_ad = table / safe[:, None, None]
+        return out_v, out_d, out_ad
+
+    outs = jax.vmap(per_pair)(stacks.tops[:ly - 1], stacks.bots[2:],
+                              tn[:ly - 1], tn[1:], tps[:ly - 1], tps[1:],
+                              config[:ly - 1], config[1:])
+    return outs

@@ -20,6 +20,8 @@ import numpy as np
 
 from peps_tpu.algorithm.energy import (EnergyHoles, ModelTensors,
                                        local_energy_and_holes, rdtype)
+from peps_tpu.algorithm.energy_fermion import (FermionTensors,
+                                               local_energy_and_holes_fermion)
 from peps_tpu.algorithm.energy_pbc import local_energy_and_holes_pbc
 from peps_tpu.lattice import BoundaryCondition
 from peps_tpu.linalg import TruncParams
@@ -65,8 +67,12 @@ def exact_sum_energy_gradient(tps: jnp.ndarray, configs: jnp.ndarray,
     (Wirtinger); for real parameters returns the true gradient dE/d(theta)
     = 2 Re <(E_loc - E) O*>.
     """
-    local = (local_energy_and_holes_pbc if bc == BoundaryCondition.PERIODIC
-             else local_energy_and_holes)
+    if isinstance(model, FermionTensors):
+        local = local_energy_and_holes_fermion
+    elif bc == BoundaryCondition.PERIODIC:
+        local = local_energy_and_holes_pbc
+    else:
+        local = local_energy_and_holes
     evaluate = lambda cfg: local(tps, cfg, model, chi, trunc,
                                  with_holes=with_grad)
     if batch_size is None:
@@ -108,8 +114,12 @@ def exact_sum_evaluation(tps: jnp.ndarray, configs: jnp.ndarray,
     """
     from peps_tpu.optimizer.optimizer import Evaluation
 
-    local = (local_energy_and_holes_pbc if bc == BoundaryCondition.PERIODIC
-             else local_energy_and_holes)
+    if isinstance(model, FermionTensors):
+        local = local_energy_and_holes_fermion
+    elif bc == BoundaryCondition.PERIODIC:
+        local = local_energy_and_holes_pbc
+    else:
+        local = local_energy_and_holes
     evaluate = lambda cfg: local(tps, cfg, model, chi, trunc, with_holes=True)
     if batch_size is None:
         res = jax.vmap(evaluate)(configs)

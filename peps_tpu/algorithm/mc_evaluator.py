@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 
 from peps_tpu.algorithm.energy import ModelTensors, local_energy_and_holes
+from peps_tpu.algorithm.energy_fermion import (FermionTensors,
+                                               local_energy_and_holes_fermion)
 from peps_tpu.algorithm.energy_pbc import local_energy_and_holes_pbc
 from peps_tpu.lattice import BoundaryCondition, transpose_tps
 from peps_tpu.linalg import TruncParams
@@ -59,7 +61,12 @@ def _mc_collect(tps, configs, key, model: ModelTensors, chi, trunc, rule,
         return cfgs, keys[0], stats
 
     def eval_all(configs):
-        local = local_energy_and_holes_pbc if periodic else local_energy_and_holes
+        if isinstance(model, FermionTensors):
+            local = local_energy_and_holes_fermion
+        elif periodic:
+            local = local_energy_and_holes_pbc
+        else:
+            local = local_energy_and_holes
         return jax.vmap(lambda c: local(
             tps, c, model, chi, trunc, with_holes=True))(configs)
 

@@ -21,7 +21,7 @@ from peps_tpu.montecarlo.engine import (ChainState, ensure_validity,
                                         init_configs_uniform,
                                         normalize_state_order1)
 from peps_tpu.montecarlo.sweep import UpdateRule, mc_sweep
-from peps_tpu.lattice import transpose_tps
+from peps_tpu.lattice import BoundaryCondition, transpose_tps
 from peps_tpu.optimizer.optimizer import (OptimizeResult, OptimizerParams,
                                           iterative_optimize)
 
@@ -35,6 +35,7 @@ class VMCParams:
     optimizer: OptimizerParams
     rule: UpdateRule = UpdateRule("exchange")
     occupancy: tuple | None = None   # ((state, count), ...) or None = uniform
+    bc: BoundaryCondition = BoundaryCondition.OPEN
 
 
 class VMCResult(NamedTuple):
@@ -49,8 +50,14 @@ class VMCResult(NamedTuple):
 def vmc_optimize(tps: jnp.ndarray, model, params: VMCParams,
                  key: jax.Array, callback=None) -> VMCResult:
     ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
-    mt = model if isinstance(model, ModelTensors) else \
-        ModelTensors.from_model(model, tps.dtype)
+    from peps_tpu.algorithm.energy_fermion import FermionTensors
+    from peps_tpu.models.fermion import FermionModel
+    if isinstance(model, (ModelTensors, FermionTensors)):
+        mt = model
+    elif isinstance(model, FermionModel):
+        mt = FermionTensors.from_model(model, tps.dtype)
+    else:
+        mt = ModelTensors.from_model(model, tps.dtype)
 
     key, k_init, k_rescue = jax.random.split(key, 3)
     if params.occupancy is not None:
@@ -63,14 +70,24 @@ def vmc_optimize(tps: jnp.ndarray, model, params: VMCParams,
     tps = normalize_state_order1(tps, configs, params.chi, params.trunc)
 
     # warm-up
-    tps_t = transpose_tps(tps)
-    warm = jax.jit(lambda t, tt, cfgs, k: jax.vmap(
-        mc_sweep, in_axes=(None, None, 0, 0, None, None, None))(
-        t, tt, cfgs, jax.random.split(k, cfgs.shape[0]), params.chi,
-        params.trunc, params.rule))
-    for _ in range(params.mc.num_warmup_sweeps):
-        key, k_s = jax.random.split(key)
-        configs, _, _ = warm(tps, tps_t, configs, k_s)
+    if params.bc == BoundaryCondition.PERIODIC:
+        from peps_tpu.montecarlo.sweep_pbc import mc_sweep_pbc
+        warm = jax.jit(lambda t, cfgs, k: jax.vmap(
+            mc_sweep_pbc, in_axes=(None, 0, 0, None, None, None))(
+            t, cfgs, jax.random.split(k, cfgs.shape[0]), params.chi,
+            params.trunc, params.rule))
+        for _ in range(params.mc.num_warmup_sweeps):
+            key, k_s = jax.random.split(key)
+            configs, _, _ = warm(tps, configs, k_s)
+    else:
+        tps_t = transpose_tps(tps)
+        warm = jax.jit(lambda t, tt, cfgs, k: jax.vmap(
+            mc_sweep, in_axes=(None, None, 0, 0, None, None, None))(
+            t, tt, cfgs, jax.random.split(k, cfgs.shape[0]), params.chi,
+            params.trunc, params.rule))
+        for _ in range(params.mc.num_warmup_sweeps):
+            key, k_s = jax.random.split(key)
+            configs, _, _ = warm(tps, tps_t, configs, k_s)
 
     # evaluator closure with persistent sampler state
     sampler = {"configs": configs, "key": key}
@@ -80,7 +97,8 @@ def vmc_optimize(tps: jnp.ndarray, model, params: VMCParams,
     def evaluate(state, step):
         ev, cfgs, k, log_psi = mc_energy_grad(
             state, sampler["configs"], sampler["key"], mt, params.chi,
-            params.trunc, params.rule, params.mc, with_sr_buffers=needs_sr)
+            params.trunc, params.rule, params.mc, with_sr_buffers=needs_sr,
+            bc=params.bc)
         sampler["configs"], sampler["key"] = cfgs, k
         return ev
 
