@@ -1,0 +1,409 @@
+"""Loop update: 2x2-plaquette imaginary-time evolution with weighted-trace
+gauge fixing and environment-aware bond truncation.
+
+Reference: `algorithm/loop_update/loop_update.h` (LoopUpdateExecutor, PRB
+102, 075147) + `square_lattice_peps_projection4_impl.h` (weighted-trace gauge
+fixing via dominant transfer-op eigenvectors :619-841, full-environment
+truncation (FET) via CG :384; Arnoldi/PowerMethod helpers).
+
+TPU re-design:
+* the plaquette gate is Trotter-factorized into the four bond gates
+  (reference gate type "first order"), each SVD-split into pair operators and
+  absorbed into the ring sites — loop bonds grow D -> D*k (k <= d^2);
+* each loop bond is truncated back to D with a WEIGHTED projector pair: the
+  weights are dominant left/right eigenvectors of the double-layer ring
+  transfer operator (power iteration — the reference's PowerMethod step),
+  eigh-factorized and combined through the same projector-pair construction
+  as the PBC contractor. Sweeping the four bonds is the one-shot-FET
+  refinement;
+* plaquettes are processed over four site-disjoint sublattices, each a
+  batched (vmapped) kernel call.
+
+Ring convention: sites 1=TL, 2=TR, 3=BR, 4=BL; direction 1->2->3->4->1;
+per-site (in, out) loop legs: 1:(d, r), 2:(l, d), 3:(u, l), 4:(r, u).
+
+STATUS: the kernel chain (gate absorption, weighted truncation, re-gauge) is
+exactly state-preserving at tau=0 and lowers the energy for single small-tau
+steps; the ONE-SHOT weighted truncation is however not accurate enough for
+long evolutions (fidelity loss accumulates). The reference's CG-based FET
+refinement is the planned replacement; note the reference itself abandoned
+loop update for production use (overview_cn.md §2).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from peps_tpu.linalg import TruncParams, expm_taylor, safe_inverse
+from peps_tpu.peps import PEPS, SimpleUpdateResult, simple_update_sweep
+from peps_tpu.utils.arnoldi import power_method
+
+
+def _gate_pair_ops(h_bond: np.ndarray, tau: float):
+    """SVD-split exp(-tau h) [d,d,d,d] into sum_a X_a (x) Y_a.
+    Returns numpy X [k, d, d], Y [k, d, d], k = d^2."""
+    d = h_bond.shape[0]
+    g = np.asarray(
+        expm_taylor(jnp.asarray(-tau * h_bond.reshape(d * d, d * d),
+                                jnp.float64))).reshape(d, d, d, d)
+    m = g.transpose(0, 2, 1, 3).reshape(d * d, d * d)   # [(p1',p1),(p2',p2)]
+    u, s, vh = np.linalg.svd(m)
+    x = (u * np.sqrt(s)[None, :]).T.reshape(d * d, d, d)
+    y = (np.sqrt(s)[:, None] * vh).reshape(d * d, d, d)
+    return x, y
+
+
+def _site_ops(x12, y12, x23, y23, x34, y34, x41, y41):
+    """Combined per-site physical operators [Np, k_out, k_in, d, d]:
+    op1 = X12 Y41, op2 = X23 Y12, op3 = X34 Y23, op4 = Y34 X41
+    (Trotter order G = g12 g23 g34 g41, rightmost acts first)."""
+    def xy(x, y):
+        return jnp.einsum("nopq,niqr->noipr", x, y)
+
+    def yx(y, x):
+        return jnp.einsum("nipq,noqr->noipr", y, x)
+
+    return (xy(x12, y41), xy(x23, y12), xy(x34, y23), yx(y34, x41))
+
+
+def _absorb_site(site, op, which: int):
+    """site [N, p, u, l, d, r] + op [N, ko, ki, p', p] -> grown site.
+    which = 1..4 selects the ring-site leg layout."""
+    t = jnp.einsum("noipq,nquldr->npiouldr", op, site)
+    n, d = site.shape[0], site.shape[1]
+    D = site.shape[3]
+    ki, ko = op.shape[2], op.shape[1]
+    if which == 1:    # in=d, out=r
+        t = t.transpose(0, 1, 4, 5, 6, 2, 7, 3)
+        return t.reshape(n, d, D, D, D * ki, D * ko)
+    if which == 2:    # in=l, out=d
+        t = t.transpose(0, 1, 4, 5, 2, 6, 3, 7)
+        return t.reshape(n, d, D, D * ki, D * ko, D)
+    if which == 3:    # in=u, out=l
+        t = t.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+        return t.reshape(n, d, D * ki, D * ko, D, D)
+    # which == 4:     # in=r, out=u
+    t = t.transpose(0, 1, 4, 3, 5, 6, 7, 2)
+    return t.reshape(n, d, D * ko, D, D, D * ki)
+
+
+_IN_OUT = {1: (3, 4), 2: (2, 3), 3: (1, 2), 4: (4, 1)}  # leg axes (1..4=u,l,d,r)
+
+
+def _transfer(site, which: int):
+    """Double-layer transfer matrix [N, (in,in'), (out,out')] with the two
+    external legs (and phys) traced between bra and ket."""
+    # reorder site legs to (p, ext1, ext2, in, out)
+    perm = {1: (0, 1, 2, 3, 4, 5),   # (p,u,l | d=in, r=out)
+            2: (0, 1, 2, 5, 3, 4),   # (p,u,r | l=in, d=out)
+            3: (0, 1, 4, 5, 2, 3),   # (p,d,r | u=in, l=out)
+            4: (0, 1, 3, 4, 5, 2)}[which]
+    s = jnp.transpose(site, perm)
+    n = s.shape[0]
+    m_in, m_out = s.shape[4], s.shape[5]
+    m = jnp.einsum("npabio,npabIO->niIoO", s, jnp.conj(s))
+    return m.reshape(n, m_in * m_in, m_out * m_out)
+
+
+def _weighted_bond_projectors(env, m: int, D: int, inv_eps: float,
+                              power_iters: int):
+    """Projector pair for one loop bond given the ring env operator
+    env [N, (n,n'), (m,m')] (maps upstream pair -> downstream... used only
+    through its dominant left/right eigenvectors).
+
+    Returns (p_up [N, m, D] absorbed into the upstream out leg,
+             p_dn [N, D, m] absorbed into the downstream in leg,
+             lam  [N, D] new bond weights)."""
+    n_batch = env.shape[0]
+
+    def one(e):
+        if power_iters > 0:
+            # reference-style PowerMethod for the dominant transfer-op
+            # eigenvectors (loop gauge fixing)
+            v0 = jnp.eye(m, dtype=e.dtype).reshape(-1)
+            _, v_r = power_method(lambda v: e @ v, v0, power_iters)
+            _, v_l = power_method(lambda v: e.T @ v, v0, power_iters)
+            rho_up = v_r.reshape(m, m)
+            rho_dn = v_l.reshape(m, m)
+        else:
+            # exact weighted-trace closure of the finite ring: trace the
+            # downstream pair index for the upstream weight and vice versa
+            e4 = e.reshape(m, m, m, m)        # (n, n', m, m')
+            rho_up = jnp.einsum("nnmM->mM", e4)
+            rho_dn = jnp.einsum("nNmm->nN", e4)
+        rho_up = 0.5 * (rho_up + jnp.conj(rho_up.T))
+        rho_dn = 0.5 * (rho_dn + jnp.conj(rho_dn.T))
+        # fix overall sign (defined up to phase; make PSD-dominant)
+        rho_up = rho_up * jnp.sign(jnp.trace(rho_up).real)
+        rho_dn = rho_dn * jnp.sign(jnp.trace(rho_dn).real)
+        eu, wu = jnp.linalg.eigh(rho_up)
+        ed, wd = jnp.linalg.eigh(rho_dn)
+        w_up = wu * jnp.sqrt(jnp.clip(eu, 0.0, None))[None, :]
+        w_dn = wd * jnp.sqrt(jnp.clip(ed, 0.0, None))[None, :]
+        c = jnp.conj(w_dn.T) @ w_up
+        u, s, vh = jnp.linalg.svd(c, full_matrices=False)
+        s_max = jnp.max(s)
+        eps = inv_eps * jnp.maximum(s_max, jnp.finfo(s.dtype).tiny)
+        s_inv_sqrt = jnp.where(
+            s > eps, 1.0 / jnp.sqrt(jnp.where(s > eps, s, 1.0)), 0.0)
+        # Balanced projector pair: p_up p_dn = W V S^-1 U^H W^H = the
+        # fidelity-optimal insertion X. The bond lambda is chosen as sqrt(S)
+        # (the double-layer singular values are the SQUARE of the physical
+        # bond spectrum); the Gamma factors are then G = p * lambda^{-1/2},
+        # i.e. what the caller obtains by dividing sqrt(lambda) at the end.
+        p_up = (w_up @ jnp.conj(vh.T) * s_inv_sqrt[None, :])[:, :D]
+        p_dn = (s_inv_sqrt[:, None] * jnp.conj(u.T) @ jnp.conj(w_dn.T))[:D, :]
+        lam = jnp.sqrt(jnp.clip(s[:D], 0.0, None))
+        lam = lam / jnp.maximum(jnp.linalg.norm(lam),
+                                jnp.finfo(lam.dtype).tiny)
+        return p_up, p_dn, lam
+
+    return jax.vmap(one)(env)
+
+
+def _truncate_bond(sites, bond: int, D: int, inv_eps: float,
+                   power_iters: int):
+    """Truncate loop bond `bond` (1->12, 2->23, 3->34, 4->41) of the 4 grown
+    ring site tensors back to D. Returns (sites', lam)."""
+    s1, s2, s3, s4 = sites
+    ms = [_transfer(s, i + 1) for i, s in enumerate((s1, s2, s3, s4))]
+    order = {1: (1, 2, 3, 0), 2: (2, 3, 0, 1), 3: (3, 0, 1, 2),
+             4: (0, 1, 2, 3)}[bond]
+    env = ms[order[0]]
+    for idx in order[1:]:
+        env = jnp.einsum("nij,njk->nik", env, ms[idx])
+    up_site = sites[bond - 1]
+    dn_site = sites[bond % 4]
+    # upstream site = site `bond`, its OUT leg; downstream = site bond%4+1,
+    # its IN leg.
+    out_axis = _IN_OUT[bond][1]
+    dn_idx = bond % 4 + 1
+    in_axis = _IN_OUT[dn_idx][0]
+    m = up_site.shape[1 + out_axis]
+    p_up, p_dn, lam = _weighted_bond_projectors(env, m, D, inv_eps,
+                                                power_iters)
+
+    def apply_out(site, p):
+        # contract p [N, m, D] into axis (1 + out_axis)
+        ax = 1 + out_axis
+        site = jnp.moveaxis(site, ax, -1)
+        site = jnp.einsum("n...m,nmD->n...D", site, p)
+        return jnp.moveaxis(site, -1, ax)
+
+    def apply_in(site, p):
+        ax = 1 + in_axis
+        site = jnp.moveaxis(site, ax, -1)
+        site = jnp.einsum("n...m,nDm->n...D", site, p)
+        return jnp.moveaxis(site, -1, ax)
+
+    # p_up/p_dn already correspond to G * sqrt(lambda): the ring remains a
+    # complete state during the sweeps; the caller divides sqrt(lambda) back
+    # out of both sides at the end to recover Gamma tensors.
+    new_sites = list(sites)
+    new_sites[bond - 1] = apply_out(up_site, p_up)
+    new_sites[dn_idx - 1] = apply_in(dn_site, p_dn)
+    return tuple(new_sites), lam
+
+
+def _divide_bond_sqrt(sites, bond: int, lam):
+    """Divide sqrt(lam) out of both legs adjacent to a loop bond."""
+    inv_sq = safe_inverse(jnp.sqrt(lam))
+    out_axis = _IN_OUT[bond][1]
+    dn_idx = bond % 4 + 1
+    in_axis = _IN_OUT[dn_idx][0]
+    new_sites = list(sites)
+
+    def scale(site, axis, w):
+        ax = 1 + axis
+        site = jnp.moveaxis(site, ax, -1)
+        site = site * w[(slice(None),) + (None,) * (site.ndim - 2) + (slice(None),)]
+        return jnp.moveaxis(site, -1, ax)
+
+    new_sites[bond - 1] = scale(new_sites[bond - 1], out_axis, inv_sq)
+    new_sites[dn_idx - 1] = scale(new_sites[dn_idx - 1], in_axis, inv_sq)
+    return tuple(new_sites)
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopUpdateParams:
+    """Reference: LoopUpdatePara (loop_update.h:57)."""
+    steps: int
+    tau: float
+    bond_dim: int
+    fet_sweeps: int = 2
+    power_iters: int = 0   # 0 = exact weighted-trace closure
+    inv_relative_eps: float = 1e-10
+
+
+def _apply_plaquette_batch(sites, lambdas, gates: tuple, params):
+    """sites: 4 x [N, p, u, l, d, r]; lambdas: dict of external + loop
+    lambdas (see caller). Returns updated (sites, loop lambdas, err)."""
+    (s1, s2, s3, s4) = sites
+    (lu1, ll1, lu2, lr2, ld3, lr3, ld4, ll4,
+     l12, l23, l34, l41) = lambdas
+    D = params.bond_dim
+
+    # absorb external lambdas
+    s1 = jnp.einsum("npuldr,nu,nl->npuldr", s1, lu1, ll1)
+    s2 = jnp.einsum("npuldr,nu,nr->npuldr", s2, lu2, lr2)
+    s3 = jnp.einsum("npuldr,nd,nr->npuldr", s3, ld3, lr3)
+    s4 = jnp.einsum("npuldr,nd,nl->npuldr", s4, ld4, ll4)
+    # absorb loop lambdas into the out side of each bond
+    s1 = jnp.einsum("npuldr,nr->npuldr", s1, l12)
+    s2 = jnp.einsum("npuldr,nd->npuldr", s2, l23)
+    s3 = jnp.einsum("npuldr,nl->npuldr", s3, l34)
+    s4 = jnp.einsum("npuldr,nu->npuldr", s4, l41)
+
+    ops = _site_ops(*gates)
+    s1 = _absorb_site(s1, ops[0], 1)
+    s2 = _absorb_site(s2, ops[1], 2)
+    s3 = _absorb_site(s3, ops[2], 3)
+    s4 = _absorb_site(s4, ops[3], 4)
+    sites = (s1, s2, s3, s4)
+
+    lams = [None] * 4
+    for sweep in range(params.fet_sweeps):
+        for b in (1, 2, 3, 4):
+            if sweep > 0:
+                # remove the sqrt(lam) absorbed by the previous truncation of
+                # this bond before re-truncating it
+                sites = _divide_bond_sqrt(sites, b, lams[b - 1])
+            sites, lam = _truncate_bond(sites, b, D,
+                                        params.inv_relative_eps,
+                                        params.power_iters)
+            lams[b - 1] = lam
+
+    # divide the final sqrt(lam) factors back out of both sides of each bond
+    for b in (1, 2, 3, 4):
+        sites = _divide_bond_sqrt(sites, b, lams[b - 1])
+    s1, s2, s3, s4 = sites
+    # divide external lambdas back out
+    s1 = jnp.einsum("npuldr,nu,nl->npuldr", s1,
+                    safe_inverse(lu1), safe_inverse(ll1))
+    s2 = jnp.einsum("npuldr,nu,nr->npuldr", s2,
+                    safe_inverse(lu2), safe_inverse(lr2))
+    s3 = jnp.einsum("npuldr,nd,nr->npuldr", s3,
+                    safe_inverse(ld3), safe_inverse(lr3))
+    s4 = jnp.einsum("npuldr,nd,nl->npuldr", s4,
+                    safe_inverse(ld4), safe_inverse(ll4))
+    return (s1, s2, s3, s4), lams
+
+
+def loop_update(peps: PEPS, h_bond_h: np.ndarray, h_bond_v: np.ndarray,
+                params: LoopUpdateParams,
+                step_observer: Callable | None = None) -> SimpleUpdateResult:
+    """Loop-update driver: sweep all plaquettes (4 site-disjoint sublattices)
+    each step. Bond weights 1/(#plaquettes containing the bond) make the
+    total evolution exp(-tau H) to first order."""
+    ly, lx, d = peps.ly, peps.lx, peps.phys_dim
+    dt = peps.gammas.dtype
+    hh = np.asarray(h_bond_h)
+    hv = np.asarray(h_bond_v)
+
+    cnt_h = np.zeros((ly, lx - 1))
+    cnt_v = np.zeros((ly - 1, lx))
+    for y in range(ly - 1):
+        for x in range(lx - 1):
+            cnt_h[y, x] += 1
+            cnt_h[y + 1, x] += 1
+            cnt_v[y, x] += 1
+            cnt_v[y, x + 1] += 1
+    cnt_h[cnt_h == 0] = 1
+    cnt_v[cnt_v == 0] = 1
+
+    # per-plaquette pair ops (host precompute)
+    k = d * d
+    gate_bank = {}
+
+    def plaquette_gates(y, x):
+        keyt = (round(1.0 / cnt_h[y, x], 9), round(1.0 / cnt_v[y, x + 1], 9),
+                round(1.0 / cnt_h[y + 1, x], 9), round(1.0 / cnt_v[y, x], 9))
+        if keyt not in gate_bank:
+            x12, y12 = _gate_pair_ops(hh * keyt[0], params.tau)
+            x23, y23 = _gate_pair_ops(hv * keyt[1], params.tau)
+            # bond 34 runs 3->4 i.e. right-to-left: the pair op acts (site3,
+            # site4) = (right, left) of the h-bond; swap the roles in h.
+            h34 = np.transpose(hh * keyt[2], (1, 0, 3, 2))
+            x34, y34 = _gate_pair_ops(h34, params.tau)
+            # bond 41 runs 4->1 = bottom-to-top: swapped vertical
+            h41 = np.transpose(hv * keyt[3], (1, 0, 3, 2))
+            x41, y41 = _gate_pair_ops(h41, params.tau)
+            gate_bank[keyt] = tuple(np.stack([a]) for a in
+                                    (x12, y12, x23, y23, x34, y34, x41, y41))
+        return gate_bank[keyt]
+
+    def gather_gates(ys, xs):
+        packs = [[] for _ in range(8)]
+        for y in ys:
+            for x in xs:
+                g8 = plaquette_gates(y, x)
+                for i in range(8):
+                    packs[i].append(g8[i][0])
+        return tuple(jnp.asarray(np.stack(p), dt) for p in packs)
+
+    # precompute per-sublattice gate packs on the host (static)
+    sublattices = []
+    for y0 in (0, 1):
+        for x0 in (0, 1):
+            ys = tuple(range(y0, ly - 1, 2))
+            xs = tuple(range(x0, lx - 1, 2))
+            if not ys or not xs:
+                continue
+            yy, xx = np.meshgrid(ys, xs, indexing="ij")
+            sublattices.append((yy.reshape(-1), xx.reshape(-1),
+                                gather_gates(ys, xs)))
+
+    def step_fn(p: PEPS):
+        for yy, xx, gates in sublattices:
+                g, lam_v, lam_h = p
+                sites = (g[yy, xx], g[yy, xx + 1], g[yy + 1, xx + 1],
+                         g[yy + 1, xx])
+                lambdas = (lam_v[yy, xx], lam_h[yy, xx],
+                           lam_v[yy, xx + 1], lam_h[yy, xx + 2],
+                           lam_v[yy + 2, xx + 1], lam_h[yy + 1, xx + 2],
+                           lam_v[yy + 2, xx], lam_h[yy + 1, xx],
+                           lam_h[yy, xx + 1], lam_v[yy + 1, xx + 1],
+                           lam_h[yy + 1, xx + 1], lam_v[yy + 1, xx])
+                (s1, s2, s3, s4), lams = _apply_plaquette_batch(
+                    sites, lambdas, gates, params)
+                g = g.at[yy, xx].set(s1)
+                g = g.at[yy, xx + 1].set(s2)
+                g = g.at[yy + 1, xx + 1].set(s3)
+                g = g.at[yy + 1, xx].set(s4)
+                lam_h = lam_h.at[yy, xx + 1].set(lams[0])
+                lam_v = lam_v.at[yy + 1, xx + 1].set(lams[1])
+                lam_h = lam_h.at[yy + 1, xx + 1].set(lams[2])
+                lam_v = lam_v.at[yy + 1, xx].set(lams[3])
+                p = PEPS(g, lam_v, lam_h)
+        return p
+
+    # identity-gate NN pair sweep: re-extracts (Gamma, lambda) in the
+    # standard simple-update gauge after every loop step — the weighted-trace
+    # lambdas of the loop truncation are NOT physical Schmidt weights and
+    # would otherwise accumulate scale in the Gamma tensors.
+    eye2 = np.eye(d * d).reshape(d, d, d, d)
+    gate_id_h = jnp.asarray(np.broadcast_to(eye2, (ly, lx - 1, d, d, d, d)), dt)
+    gate_id_v = jnp.asarray(np.broadcast_to(eye2, (lx, ly - 1, d, d, d, d)), dt)
+    h_zero_h = jnp.zeros_like(gate_id_h)
+    h_zero_v = jnp.zeros_like(gate_id_v)
+    regauge_trunc = TruncParams(peps.bond_dim, 1, 0.0)
+
+    def step_with_regauge(p):
+        p = step_fn(p)
+        p, _ = simple_update_sweep(p, gate_id_h, gate_id_v, h_zero_h,
+                                   h_zero_v, regauge_trunc)
+        return p
+
+    step_jit = jax.jit(step_with_regauge)
+    history = []
+    for step in range(1, params.steps + 1):
+        peps = step_jit(peps)
+        if step_observer is not None:
+            step_observer(step=step)
+        history.append(float(jnp.sum(peps.lam_h) + jnp.sum(peps.lam_v)))
+    return SimpleUpdateResult(peps, float("nan"), float("nan"),
+                              params.steps, False, history)

@@ -1,0 +1,51 @@
+"""Loop update: plaquette evolution with weighted-trace-gauge truncation.
+
+Reference analogue: loop-update tests (SURVEY.md §2.5 LoopUpdateExecutor)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from peps_tpu.linalg import TruncParams
+from peps_tpu.loop_update import LoopUpdateParams, loop_update
+from peps_tpu.models import spin
+from peps_tpu.peps import SimpleUpdateParams, product_peps, simple_update, to_tps
+from tests.ed_oracle import energy_of_tps, ground_energy
+
+
+def _su_state():
+    model = spin.heisenberg(1.0)
+    ly, lx, D = 2, 3, 4
+    occ = np.fromfunction(lambda y, x: (y + x) % 2, (ly, lx), dtype=int)
+    peps = product_peps(ly, lx, D, occ, 2, dtype=jnp.float64)
+    res = simple_update(peps, model.h_h, model.h_v,
+                        SimpleUpdateParams(steps=30, tau=0.2,
+                                           trunc=TruncParams(D, 1, 1e-12)))
+    return model, res.peps, D
+
+
+def test_loop_update_identity_preserves_state():
+    """tau=0 plaquette steps (grow + weighted truncation + regauge) must be
+    exactly state-preserving — validates the whole kernel chain."""
+    model, peps, D = _su_state()
+    e0 = energy_of_tps(np.asarray(to_tps(peps)), model)
+    out = loop_update(peps, model.h_h, model.h_v,
+                      LoopUpdateParams(steps=3, tau=0.0, bond_dim=D,
+                                       fet_sweeps=1))
+    e1 = energy_of_tps(np.asarray(to_tps(out.peps)), model)
+    assert abs(e1 - e0) < 1e-8, (e0, e1)
+
+
+def test_loop_update_single_step_improves():
+    """One small-tau loop step lowers the variational energy (the one-shot
+    weighted truncation is EXPERIMENTAL for long evolutions: the reference's
+    CG-based full-environment truncation is future work — and the reference
+    itself flags loop update as abandoned for efficiency,
+    docs/dev/design/arch/overview_cn.md §2)."""
+    model, peps, D = _su_state()
+    e0 = energy_of_tps(np.asarray(to_tps(peps)), model)
+    out = loop_update(peps, model.h_h, model.h_v,
+                      LoopUpdateParams(steps=1, tau=0.05, bond_dim=D,
+                                       fet_sweeps=1))
+    e1 = energy_of_tps(np.asarray(to_tps(out.peps)), model)
+    assert e1 < e0, (e0, e1)
