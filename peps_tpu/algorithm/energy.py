@@ -377,3 +377,63 @@ def _pair_tables(tps, tn, config, stacks, want_v, want_d, want_ad):
                               tn[:ly - 1], tn[1:], tps[:ly - 1], tps[1:],
                               config[:ly - 1], config[1:])
     return outs
+
+
+def apply_dress_to_tables(tables: RatioTables, dress, config) -> RatioTables:
+    """Multiply Jastrow ratio factors into all replacement tables
+    (reference: JastrowDress in wave_function_component.h:100-122)."""
+    from peps_tpu.montecarlo.jastrow import (one_site_log_ratios,
+                                             two_site_log_ratios)
+    ly, lx = config.shape
+    flat = jnp.arange(ly * lx).reshape(ly, lx)
+    r1 = tables.ratio1 * jnp.exp(one_site_log_ratios(dress, config, ly, lx))
+
+    def pair(table, idx1, idx2):
+        if table is None:
+            return None
+        lr = two_site_log_ratios(dress, config, idx1.reshape(-1),
+                                 idx2.reshape(-1))
+        return table * jnp.exp(lr).reshape(table.shape)
+
+    rh = pair(tables.ratio_h, flat[:, :lx - 1], flat[:, 1:])
+    rv = pair(tables.ratio_v, flat[:ly - 1], flat[1:])
+    rd = pair(tables.ratio_d, flat[:ly - 1, :lx - 1], flat[1:, 1:])
+    rad = pair(tables.ratio_ad, flat[1:, :lx - 1], flat[:ly - 1, 1:])
+    log_abs = tables.log_abs_psi + dress.log_factor(config)
+    return RatioTables(r1, rh, rv, rd, rad, tables.o_tensor,
+                       tables.psi_loc, log_abs, tables.psi_mant)
+
+
+def local_energy_and_holes_dressed(tps, config, model: ModelTensors, dress,
+                                   chi, trunc, with_holes: bool = True
+                                   ) -> EnergyHoles:
+    """Jastrow-dressed local energy: psi_J = exp(J) psi. The O-tensor w.r.t.
+    TPS parameters is unchanged by the dress; log|psi| gains log J."""
+    need = ["h"]
+    if model.h_v is not None:
+        need.append("v")
+    if model.h_d is not None:
+        need.append("d")
+    if model.h_ad is not None:
+        need.append("ad")
+    tables = compute_ratio_tables(tps, config, chi, trunc, tuple(need),
+                                  with_holes)
+    tables = apply_dress_to_tables(tables, dress, config)
+    ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
+    e = jnp.zeros((), rdtype(tps))
+    if model.h_h is not None:
+        c1, c2 = config[:, :lx - 1], config[:, 1:]
+        e = e + jnp.sum(model.h_h[c1, c2] * tables.ratio_h)
+    if model.h_v is not None:
+        c1, c2 = config[:ly - 1], config[1:]
+        e = e + jnp.sum(model.h_v[c1, c2] * tables.ratio_v)
+    if model.h_d is not None:
+        c1, c2 = config[:ly - 1, :lx - 1], config[1:, 1:]
+        e = e + jnp.sum(model.h_d[c1, c2] * tables.ratio_d)
+    if model.h_ad is not None:
+        c1, c2 = config[1:, :lx - 1], config[:ly - 1, 1:]
+        e = e + jnp.sum(model.h_ad[c1, c2] * tables.ratio_ad)
+    if model.h_site is not None:
+        e = e + jnp.sum(model.h_site[config] * tables.ratio1)
+    return EnergyHoles(e, tables.o_tensor, tables.log_abs_psi,
+                       tables.psi_mant)

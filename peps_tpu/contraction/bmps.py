@@ -144,8 +144,14 @@ def compress(mps: jnp.ndarray, chi: int, trunc: TruncParams) -> CompressResult:
 
 def absorb_row(bmps: jnp.ndarray, row: jnp.ndarray, chi: int,
                trunc: TruncParams) -> CompressResult:
-    """multiply_mpo followed by compress (one `GrowBMPSStep`)."""
-    return compress(multiply_mpo(bmps, row), chi, trunc)
+    """multiply_mpo followed by compression (one `GrowBMPSStep`); the
+    compression scheme is selected by trunc.scheme."""
+    grown = multiply_mpo(bmps, row)
+    if trunc.scheme == "var2":
+        return compress_variational(grown, chi, trunc, two_site=True)
+    if trunc.scheme == "var1":
+        return compress_variational(grown, chi, trunc, two_site=False)
+    return compress(grown, chi, trunc)
 
 
 class EnvStacks(NamedTuple):
@@ -341,3 +347,126 @@ def replace_nn_site_traces(envs: RowEnvs, top: jnp.ndarray, bot: jnp.ndarray,
     t2 = jnp.einsum("xurCa,xjuldr->xjdCla", t2, cand2)
     t2 = jnp.einsum("xjdCla,xcdC->xjalc", t2, bot[1:])
     return jnp.einsum("xkalc,xjalc->xkj", t1, t2)
+
+
+# ---------------------------------------------------------------------------
+# Variational compression (reference: MultiplyMPO VARIATION2Site/VARIATION1Site
+# schemes, bmps_impl.h:406-437 + variational env sweeps :560-660)
+# ---------------------------------------------------------------------------
+
+def _overlap_env_left(guess, target):
+    """OL[x] [chi, m]: overlap environments <guess|target> for columns < x.
+    Edge closure at index 0 on both sides. Returns [Lx+1, chi, m]."""
+    lx, chi = guess.shape[0], guess.shape[1]
+    m = target.shape[1]
+    init = jnp.zeros((chi, m), guess.dtype).at[0, 0].set(1.0)
+
+    def step(env, xs):
+        g_x, t_x = xs
+        new = jnp.einsum("am,avb,mvn->bn", env, jnp.conj(g_x), t_x)
+        return new, new
+
+    _, ls = jax.lax.scan(step, init, (guess, target))
+    return jnp.concatenate([init[None], ls], axis=0)
+
+
+def _overlap_env_right(guess, target):
+    lx, chi = guess.shape[0], guess.shape[1]
+    m = target.shape[1]
+    init = jnp.zeros((chi, m), guess.dtype).at[0, 0].set(1.0)
+
+    def step(env, xs):
+        g_x, t_x = xs
+        new = jnp.einsum("bn,avb,mvn->am", env, jnp.conj(g_x), t_x)
+        return new, new
+
+    _, rs = jax.lax.scan(step, init, (guess, target), reverse=True)
+    return jnp.concatenate([rs, init[None]], axis=0)
+
+
+def _right_canonicalize_guess(guess):
+    """LQ sweep right->left on a [Lx, chi, D, chi] MPS (edges closed at 0);
+    keeps the represented (index-0-closed) state exact."""
+    lx, chi, dv, _ = guess.shape
+    gs = guess
+    carry = jnp.eye(chi, dtype=guess.dtype)
+    for x in range(lx - 1, 0, -1):
+        t = jnp.einsum("avb,bc->avc", gs[x], carry)
+        l_new, q = lq(t.reshape(chi, dv * chi))
+        k = l_new.shape[1]
+        if k < chi:
+            l_new = jnp.pad(l_new, ((0, 0), (0, chi - k)))
+            q = jnp.pad(q, ((0, chi - k), (0, 0)))
+        gs = gs.at[x].set(q.reshape(chi, dv, chi))
+        carry = l_new
+    gs = gs.at[0].set(jnp.einsum("avb,bc->avc", gs[0], carry))
+    return gs
+
+
+def compress_variational(mps: jnp.ndarray, chi: int, trunc: TruncParams,
+                         two_site: bool = True) -> CompressResult:
+    """Variational MPS fitting compression: SVD init, then sweeps maximizing
+    <guess|target> by local updates. two_site=True re-splits pairs with a
+    truncated SVD (adapts the kept spectrum); False does single-site updates
+    with QR shifts."""
+    svd_trunc = TruncParams(trunc.d_max, trunc.d_min, trunc.trunc_err)
+    res = compress(mps, chi, svd_trunc)
+    guess = res.bmps
+    lx, _, dv, _ = guess.shape
+    target = mps
+
+    def sweep(guess):
+        # isometric environment frame: left part becomes left-canonical as we
+        # sweep; the right part must be right-canonical for the local update
+        # to be overlap-optimal.
+        guess = _right_canonicalize_guess(guess)
+        rights = _overlap_env_right(guess, target)
+        # left-to-right pass with freshly grown left envs
+        chi_ = guess.shape[1]
+        m = target.shape[1]
+        ol = jnp.zeros((chi_, m), guess.dtype).at[0, 0].set(1.0)
+        if two_site:
+            gs = guess
+            for x in range(lx - 1):
+                blk = jnp.einsum("am,mvn,nwp,bp->avwb", ol, target[x],
+                                 target[x + 1], rights[x + 2])
+                mat = blk.reshape(chi_ * dv, dv * chi_)
+                u, s, vh, _ = truncated_svd(mat, TruncParams(chi_, trunc.d_min,
+                                                             trunc.trunc_err))
+                g1 = u.reshape(chi_, dv, chi_)
+                g2 = (s[:, None] * vh).reshape(chi_, dv, chi_)
+                gs = gs.at[x].set(g1).at[x + 1].set(g2)
+                ol = jnp.einsum("am,avb,mvn->bn", ol, jnp.conj(g1), target[x])
+            return gs
+        else:
+            gs = guess
+            for x in range(lx):
+                blk = jnp.einsum("am,mvn,bn->avb", ol, target[x],
+                                 rights[x + 1])
+                if x < lx - 1:
+                    # move the orthogonality center right: keep Q, push R
+                    q, r = jnp.linalg.qr(blk.reshape(chi_ * dv, chi_),
+                                         mode="reduced")
+                    k = q.shape[1]
+                    if k < chi_:
+                        q = jnp.pad(q, ((0, 0), (0, chi_ - k)))
+                        r = jnp.pad(r, ((0, chi_ - k), (0, 0)))
+                    gs = gs.at[x].set(q.reshape(chi_, dv, chi_))
+                    gs = gs.at[x + 1].set(
+                        jnp.einsum("ab,bvc->avc", r, gs[x + 1]))
+                else:
+                    gs = gs.at[x].set(blk)
+                ol = jnp.einsum("am,avb,mvn->bn", ol, jnp.conj(gs[x]),
+                                target[x])
+            return gs
+
+    for _ in range(trunc.var_sweeps):
+        guess = sweep(guess)
+
+    # After a full fitting pass every tensor has been replaced by target-
+    # scale blocks, so the fitted MPS carries the TARGET's scale (the init
+    # compression's log_norm must not be double counted).
+    norms = jnp.sqrt(jnp.sum(jnp.abs(guess) ** 2, axis=(1, 2, 3)))
+    norms = jnp.maximum(norms, jnp.finfo(guess.real.dtype).tiny)
+    out = guess / norms[:, None, None, None]
+    return CompressResult(out, jnp.sum(jnp.log(norms)), res.trunc_err)

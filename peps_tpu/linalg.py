@@ -36,6 +36,10 @@ class TruncParams:
     d_max: int
     d_min: int = 1
     trunc_err: float = 1e-12
+    # BMPS compression scheme (reference BMPSTruncateParams factories
+    # SVD/Variational2Site/Variational1Site, bmps.h:48-98):
+    scheme: str = "svd"          # "svd" | "var2" | "var1"
+    var_sweeps: int = 2          # fitting sweeps for variational schemes
 
 
 def _svd(mat: jax.Array):

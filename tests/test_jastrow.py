@@ -1,0 +1,53 @@
+"""Jastrow-dressed evaluator vs brute-force dressed-state ED."""
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from peps_tpu.algorithm.energy import (ModelTensors,
+                                       local_energy_and_holes_dressed)
+from peps_tpu.algorithm.exact_sum import all_configs
+from peps_tpu.linalg import TruncParams
+from peps_tpu.models import spin
+from peps_tpu.montecarlo.jastrow import JastrowDress
+from peps_tpu.tps import random_tps
+from tests.ed_oracle import build_hamiltonian, wavefunction_from_tps
+
+CHI = 16
+TP = TruncParams(CHI, 1, 0.0)
+
+
+def test_dressed_energy_matches_ed():
+    ly, lx, d = 2, 3, 2
+    n = ly * lx
+    model = spin.j1j2_xxz(1.0, 1.0, 0.4, 0.4)
+    mt = ModelTensors.from_model(model, jnp.float64)
+    rng = np.random.default_rng(3)
+    v = rng.normal(scale=0.3, size=(n, n))
+    v = 0.5 * (v + v.T)
+    np.fill_diagonal(v, 0.0)
+    dress = JastrowDress(jnp.asarray(v), jnp.asarray([0.0, 1.0]))
+    tps = random_tps(jax.random.PRNGKey(0), ly, lx, d, 3,
+                     dtype=jnp.float64, scale=0.8)
+    configs = jnp.asarray(all_configs(ly, lx, d))
+
+    def one(cfg):
+        return local_energy_and_holes_dressed(tps, cfg, mt, dress, CHI, TP,
+                                              with_holes=False)
+
+    res = jax.vmap(one)(configs)
+    logw = 2.0 * res.log_abs_psi
+    w = jnp.where(res.psi_mant == 0, 0.0, jnp.exp(logw - jnp.max(logw)))
+    got = float(jnp.sum(w * jnp.real(res.e_loc)) / jnp.sum(w))
+
+    # brute force: psi_J(s) = exp(J(s)) psi(s)
+    psi = wavefunction_from_tps(np.asarray(tps))
+    js = []
+    for cfg in itertools.product(range(d), repeat=n):
+        nvec = np.array(cfg, dtype=float)  # state 1 has density 1
+        js.append(np.exp(-0.5 * nvec @ v @ nvec))
+    psi_j = psi * np.array(js)
+    h = build_hamiltonian(model, ly, lx)
+    want = float(np.real(np.vdot(psi_j, h @ psi_j) / np.vdot(psi_j, psi_j)))
+    assert abs(got - want) < 1e-8 * max(1.0, abs(want)), (got, want)

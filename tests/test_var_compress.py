@@ -1,0 +1,56 @@
+"""Variational BMPS compression schemes vs SVD compression."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from peps_tpu.contraction import bmps
+from peps_tpu.linalg import TruncParams
+from peps_tpu.tps import exact_contract, project, random_tps
+
+
+def _full_state(mps):
+    lx, m, D, _ = mps.shape
+    v = np.zeros(m); v[0] = 1
+    w = np.tensordot(v, np.asarray(mps[0]), axes=([0], [0]))
+    for x in range(1, lx):
+        w = np.tensordot(w, np.asarray(mps[x]), axes=([-1], [0]))
+    return w[..., 0]
+
+
+@pytest.mark.parametrize("scheme", ["var2", "var1"])
+def test_variational_not_worse_than_svd(scheme):
+    key = jax.random.PRNGKey(4)
+    lx, m, D, chi = 5, 9, 3, 4
+    mps = jax.random.normal(key, (lx, m, D, m), jnp.float64)
+    mask0 = jnp.zeros(m).at[0].set(1.0)
+    mps = mps.at[0].multiply(mask0[:, None, None]).at[lx - 1].multiply(
+        mask0[None, None, :])
+    full = _full_state(mps)
+
+    res_svd = bmps.compress(mps, chi, TruncParams(chi, 1, 0.0))
+    sv = _full_state(res_svd.bmps) * np.exp(float(res_svd.log_norm))
+    res_var = bmps.compress_variational(
+        mps, chi, TruncParams(chi, 1, 0.0, scheme=scheme, var_sweeps=3),
+        two_site=(scheme == "var2"))
+    vr = _full_state(res_var.bmps) * np.exp(float(res_var.log_norm))
+
+    def fid(a, b):
+        return abs(np.vdot(a, b)) / np.sqrt(np.vdot(a, a) * np.vdot(b, b))
+
+    f_svd, f_var = fid(full, sv), fid(full, vr)
+    assert f_var >= f_svd - 1e-9, (f_svd, f_var)
+
+
+def test_amplitude_with_variational_scheme_exact():
+    key = jax.random.PRNGKey(9)
+    ly, lx, D = 3, 3, 2
+    tps = random_tps(key, ly, lx, 2, D, dtype=jnp.float64, scale=0.7)
+    config = jax.random.randint(jax.random.fold_in(key, 1), (ly, lx), 0, 2)
+    tn = project(tps, config)
+    want = exact_contract(np.asarray(tn))
+    chi = 8
+    tp = TruncParams(chi, 1, 0.0, scheme="var2", var_sweeps=2)
+    mant, logw = bmps.amplitude(tn, chi, tp)
+    got = float(mant) * np.exp(float(logw))
+    assert abs(got - want) < 1e-8 * max(1.0, abs(want))
