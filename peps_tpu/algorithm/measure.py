@@ -81,7 +81,15 @@ def _row_offdiag_corr(tps, tn, config, op_a, op_b, chi, trunc, stacks):
                 # correlation at x (only valid for x > x1)
                 closed = bmps._col_transfer_left(e, top[x], cb[x], bot[x])
                 val = jnp.einsum("alc,alc->", closed, envs.rights[x + 1])
-                e_next = bmps._col_transfer_left(e, top[x], row[x], bot[x])
+                # rights[] envs were normalized with different dropped log
+                # weights than the x1-closure reference; compensate.
+                val = val * jnp.exp(envs.log_rights[x + 1]
+                                    - envs.log_rights[x1 + 1])
+                stepped = bmps._col_transfer_left(e, top[x], row[x], bot[x])
+                # freeze the carry until the walker reaches x1 (the start env
+                # already contains all columns <= x1)
+                e_next = jnp.where(x > x1, stepped, e)
+                val = jnp.where(x > x1, val, 0.0)
                 return e_next, val
 
             _, vals = jax.lax.scan(scan_x, start, jnp.arange(lx))
