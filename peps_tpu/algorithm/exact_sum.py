@@ -37,7 +37,31 @@ def all_configs(ly: int, lx: int, d: int) -> np.ndarray:
 
 def sector_configs(ly: int, lx: int, occupancy: dict[int, int]) -> np.ndarray:
     """Configurations with fixed occupation numbers {state: count}
-    (e.g. Sz-conserving sector). occupancy counts must sum to Ly*Lx."""
+    (e.g. Sz-conserving sector). occupancy counts must sum to Ly*Lx.
+    Uses the native C++ enumerator when available (utils/native.py)."""
+    try:
+        from peps_tpu.utils.native import _build_and_load
+        if _build_and_load() is not None:
+            import ctypes
+            lib = _build_and_load()
+            n_sites = ly * lx
+            d = max(occupancy) + 1
+            counts = np.zeros(d, dtype=np.int32)
+            for s, c in occupancy.items():
+                counts[s] = c
+            total = lib.count_sector_configs(
+                n_sites, d,
+                counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+            if total > 0:
+                out = np.empty((total, n_sites), dtype=np.int32)
+                lib.enumerate_sector_configs(
+                    n_sites, d,
+                    counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    total)
+                return out.reshape(total, ly, lx)
+    except Exception:
+        pass
     n = ly * lx
     base = []
     for state, count in sorted(occupancy.items()):
