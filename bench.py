@@ -19,6 +19,7 @@ LY = LX = 8
 D = 8
 CHI = 32
 NCHAINS = 32
+SCHEME = "fast"   # matmul-only compression (see contraction/bmps.py)
 DTYPE = jnp.float32
 BASELINE_SWEEPS_PER_SEC = 1.0
 
@@ -35,7 +36,7 @@ def main():
     n = LY * LX
     configs = init_configs_occupancy(jax.random.PRNGKey(1), NCHAINS, LY, LX,
                                      {0: n // 2, 1: n - n // 2})
-    trunc = TruncParams(CHI, 1, 1e-6)
+    trunc = TruncParams(CHI, 1, 1e-6, scheme=SCHEME)
     rule = UpdateRule("exchange")
     tps_t = transpose_tps(tps)
 

@@ -232,3 +232,32 @@ def dump_stats(result: MeasureResult, dump_dir: str) -> None:
     np.savetxt(os.path.join(dump_dir, "samples", "log_abs_psi.csv"),
                result.psi_samples.reshape(result.psi_samples.shape[0], -1),
                delimiter=",")
+
+
+def replica_gap(e_samples: np.ndarray) -> float:
+    """Ergodicity diagnostic (reference: MCPEPSMeasurer::ReplicaTest,
+    monte_carlo_peps_measurer.h:265): split the chains into two replicas and
+    return |E1 - E2| / sqrt(err1^2 + err2^2). Values >> 3 indicate
+    non-ergodic sampling."""
+    x = np.asarray(e_samples)
+    if x.ndim == 1:
+        x = x[:, None]
+    c = x.shape[1]
+    if c < 2:
+        raise ValueError("replica test needs >= 2 chains")
+    h = c // 2
+    import jax.numpy as jnp
+    m1, e1 = mean_and_binned_error(jnp.asarray(x[:, :h]))
+    m2, e2 = mean_and_binned_error(jnp.asarray(x[:, h:]))
+    denom = float(jnp.sqrt(e1 ** 2 + e2 ** 2))
+    return abs(float(m1) - float(m2)) / max(denom, 1e-12)
+
+
+def particle_number_distribution(configs: np.ndarray, state: int) -> np.ndarray:
+    """Histogram of per-config occupation counts of a local state
+    (reference: particle-number distribution diagnostic,
+    monte_carlo_peps_measurer.h:118-166). configs: [..., Ly, Lx]."""
+    cfg = np.asarray(configs)
+    n_sites = cfg.shape[-1] * cfg.shape[-2]
+    counts = (cfg == state).sum(axis=(-1, -2)).reshape(-1)
+    return np.bincount(counts, minlength=n_sites + 1) / counts.size

@@ -151,6 +151,8 @@ def absorb_row(bmps: jnp.ndarray, row: jnp.ndarray, chi: int,
         return compress_variational(grown, chi, trunc, two_site=True)
     if trunc.scheme == "var1":
         return compress_variational(grown, chi, trunc, two_site=False)
+    if trunc.scheme == "fast":
+        return compress_fast(grown, chi, trunc, power_iters=trunc.rsvd_power)
     return compress(grown, chi, trunc)
 
 
@@ -470,3 +472,116 @@ def compress_variational(mps: jnp.ndarray, chi: int, trunc: TruncParams,
     norms = jnp.maximum(norms, jnp.finfo(guess.real.dtype).tiny)
     out = guess / norms[:, None, None, None]
     return CompressResult(out, jnp.sum(jnp.log(norms)), res.trunc_err)
+
+
+# ---------------------------------------------------------------------------
+# Fast matmul-only compression (TPU speed-of-light path).
+#
+# QDWH-SVD and Householder QR are iterative and slow on TPU (measured ~80ms
+# per batched [32,256,256] SVD on v5e vs ~4ms for Cholesky+triangular-solve).
+# This scheme replaces them with:
+#   * Cholesky-LQ right-canonicalization: G = M M^H + eps, L = chol(G),
+#     Q = L^{-1} M. The factorization M = L Q holds EXACTLY by construction
+#     (only Q's orthonormality is eps-approximate, which merely degrades
+#     truncation optimality, never correctness of the represented state);
+#   * randomized-subspace truncation: project onto the column space captured
+#     by Y = (M M^T)^q M Omega with a fixed random test matrix, orthonormalized
+#     by Cholesky-QR. Exact when chi >= rank(M).
+# ---------------------------------------------------------------------------
+
+def _chol_lq(mat, eps_rel):
+    """mat = L @ Q with Q eps-approximately row-orthonormal; exact product."""
+    m = mat.shape[0]
+    g = mat @ jnp.conj(mat.T)
+    tr = jnp.real(jnp.trace(g))
+    eps = eps_rel * jnp.maximum(tr / m, jnp.finfo(mat.real.dtype).tiny)
+    l = jnp.linalg.cholesky(g + eps * jnp.eye(m, dtype=mat.dtype))
+    q = jax.scipy.linalg.solve_triangular(l, mat, lower=True)
+    return l, q
+
+
+def _subspace_project(mat, chi, key, eps_rel, power_iters=0):
+    """Left isometry Q [rows, chi] ~ dominant column space of mat, plus
+    carry = Q^H mat. Matmul-only (randomized subspace + Cholesky-QR)."""
+    rows, cols = mat.shape
+
+    def orthonormalize(y):
+        g = jnp.conj(y.T) @ y
+        tr = jnp.real(jnp.trace(g))
+        eps = eps_rel * jnp.maximum(tr / chi, jnp.finfo(mat.real.dtype).tiny)
+        l = jnp.linalg.cholesky(g + eps * jnp.eye(chi, dtype=mat.dtype))
+        q = jax.scipy.linalg.solve_triangular(l, jnp.conj(y.T), lower=True)
+        q = jnp.conj(q.T)
+        # one Newton-Schulz step kills the O(eps) orthonormality bias
+        return q @ (1.5 * jnp.eye(chi, dtype=mat.dtype)
+                    - 0.5 * (jnp.conj(q.T) @ q))
+
+    # power_iters=0 keeps the Cholesky conditioning at kappa(A)^2 and makes
+    # the projection EXACT whenever rank(A) <= chi (range(A Omega) = range(A));
+    # power iterations sharpen truncation when rank > chi but suppress weak
+    # kept directions below the fp noise floor — opt in via TruncParams.
+    omega = jax.random.normal(key, (cols, chi), mat.dtype)
+    q = orthonormalize(mat @ omega)
+    for _ in range(power_iters):
+        q = orthonormalize(mat @ (jnp.conj(mat.T) @ q))
+    carry = jnp.conj(q.T) @ mat                 # [chi, cols]
+    return q, carry
+
+
+def compress_fast(mps: jnp.ndarray, chi: int, trunc: TruncParams,
+                  eps_rel: float | None = None,
+                  power_iters: int = 0) -> CompressResult:
+    """Matmul-only compression [Lx, m, D, m] -> [Lx, chi, D, chi]."""
+    lx, m, dv, _ = mps.shape
+    dtype = mps.dtype
+    if eps_rel is None:
+        eps_rel = 1e-12 if jnp.finfo(mps.real.dtype).bits >= 64 else 3e-7
+    key = jax.random.PRNGKey(1234)  # fixed test matrix; deterministic
+
+    left_t = mps[0, 0]
+    right_t = mps[lx - 1, :, :, 0]
+
+    l_last, q_last = _chol_lq(right_t, eps_rel)   # [m, m], [m, D]
+    bc_last = q_last
+
+    def rl_step(carry_l, b_x):
+        t = jnp.einsum("avb,bc->avc", b_x, carry_l)
+        l_new, q = _chol_lq(t.reshape(m, dv * m), eps_rel)
+        return l_new, q.reshape(m, dv, m)
+
+    if lx > 2:
+        l_carry, bc_inner = jax.lax.scan(rl_step, l_last, mps[1:lx - 1],
+                                         reverse=True)
+    else:
+        l_carry, bc_inner = l_last, jnp.zeros((0, m, dv, m), dtype)
+    a0 = jnp.einsum("vb,bc->vc", left_t, l_carry)       # [D, m]
+
+    # left-to-right randomized-subspace truncation
+    q0, carry0 = _subspace_project(a0, chi, jax.random.fold_in(key, 0),
+                                   eps_rel, power_iters)
+    b_first = jnp.zeros((chi, dv, chi), dtype).at[0].set(q0)
+
+    def lr_step(carry, xs):
+        bc_x, k = xs
+        t = jnp.einsum("cb,bvd->cvd", carry, bc_x)
+        mat = t.reshape(chi * dv, m)
+        q, new_carry = _subspace_project(mat, chi,
+                                         jax.random.fold_in(key, k), eps_rel,
+                                         power_iters)
+        return new_carry, q.reshape(chi, dv, chi)
+
+    if lx > 2:
+        carry_c, b_inner = jax.lax.scan(lr_step, carry0,
+                                        (bc_inner, jnp.arange(1, lx - 1)))
+    else:
+        carry_c, b_inner = carry0, jnp.zeros((0, chi, dv, chi), dtype)
+
+    t_last = jnp.einsum("cb,bv->cv", carry_c, bc_last)
+    b_last = jnp.zeros((chi, dv, chi), dtype).at[:, :, 0].set(t_last)
+
+    out = jnp.concatenate([b_first[None], b_inner, b_last[None]], axis=0)
+    norms = jnp.sqrt(jnp.sum(jnp.abs(out) ** 2, axis=(1, 2, 3)))
+    norms = jnp.maximum(norms, jnp.finfo(out.real.dtype).tiny)
+    out = out / norms[:, None, None, None]
+    return CompressResult(out, jnp.sum(jnp.log(norms)),
+                          jnp.zeros((), out.real.dtype))

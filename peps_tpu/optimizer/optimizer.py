@@ -82,6 +82,15 @@ class LBFGSParams:
 
 
 @dataclasses.dataclass(frozen=True)
+class StepSelectorParams:
+    """Step-size selector (reference: initial/periodic step-length selector
+    in optimizer_impl.h — evaluates candidate steps with EvaluateEnergyOnly
+    and keeps the best)."""
+    candidates: tuple = (0.5, 1.0, 2.0)   # multipliers on the scheduled lr
+    every_n: int = 0                      # 0 = only at the first iteration
+
+
+@dataclasses.dataclass(frozen=True)
 class SpikeParams:
     """Reference: SpikeRecoveryParams + spike_detection.h (S1/S2 signals).
 
@@ -102,6 +111,7 @@ class OptimizerParams:
     clip_norm: float = 0.0                 # 0 = no clipping
     clip_value: float = 0.0
     spike: SpikeParams = SpikeParams()
+    step_selector: StepSelectorParams | None = None
     checkpoint_every: int = 0
     checkpoint_path: str | None = None
     log_path: str | None = None            # JSONL per-iteration records
@@ -334,6 +344,19 @@ def iterative_optimize(state: jnp.ndarray,
 
         lr = params.lr_at(step, energy)
         grad = _clip(ev.gradient, params)
+
+        # ---- optional step-size selector ----
+        sel = params.step_selector
+        if sel is not None and evaluate_energy_only is not None and (
+                step == 0 or (sel.every_n and step % sel.every_n == 0)):
+            gn_sel = max(float(jnp.linalg.norm(grad)), 1e-300)
+            best_lr, best_e = lr, None
+            for mult in sel.candidates:
+                cand = state - (lr * mult) * grad
+                e_c = float(evaluate_energy_only(cand))
+                if best_e is None or e_c < best_e:
+                    best_e, best_lr = e_c, lr * mult
+            lr = best_lr
 
         # ---- update dispatch ----
         t1 = time.time()

@@ -75,3 +75,27 @@ def test_exchange_conserves_occupancy():
     cfg = np.asarray(eng.state.configs)
     assert np.all((cfg == 0).sum(axis=(1, 2)) == 5)
     assert np.all((cfg == 1).sum(axis=(1, 2)) == 4)
+
+
+@pytest.mark.slow
+def test_exchange_stationary_fast_scheme():
+    """Sampler stationarity holds with the matmul-only compression scheme."""
+    key = jax.random.PRNGKey(0)
+    tps = random_tps(key, LY, LX, 2, D, dtype=jnp.float64, scale=0.9)
+    from peps_tpu.algorithm.exact_sum import sector_configs
+    cfgs = sector_configs(LY, LX, {0: 2, 1: 2})
+    probs = _exact_probs(tps, cfgs)
+    c0 = init_configs_occupancy(jax.random.PRNGKey(1), 24, LY, LX, {0: 2, 1: 2})
+    import peps_tpu.montecarlo.engine as eng_mod
+    tp_fast = TruncParams(CHI, 1, 0.0, scheme="fast")
+    eng = MonteCarloEngine(tps, CHI, tp_fast, UpdateRule("exchange"),
+                           ChainState(c0, jax.random.PRNGKey(2)))
+    counts = np.zeros(len(cfgs))
+    lookup = {tuple(c.ravel()): i for i, c in enumerate(cfgs)}
+    eng.warm_up(50)
+    for _ in range(400):
+        eng.step_sweep()
+        for cfg in np.asarray(eng.state.configs):
+            counts[lookup[tuple(cfg.ravel())]] += 1
+    emp = counts / counts.sum()
+    assert np.max(np.abs(emp - probs)) < 0.02, (emp, probs)

@@ -54,3 +54,22 @@ def test_amplitude_with_variational_scheme_exact():
     mant, logw = bmps.amplitude(tn, chi, tp)
     got = float(mant) * np.exp(float(logw))
     assert abs(got - want) < 1e-8 * max(1.0, abs(want))
+
+
+def test_fast_scheme_amplitude_accuracy():
+    """Matmul-only ("fast") compression: near-lossless when chi >= rank and
+    on par with SVD in the truncating regime."""
+    key = jax.random.PRNGKey(43)
+    tps = random_tps(key, 4, 4, 2, 3, dtype=jnp.float64, scale=0.7)
+    config = jax.random.randint(jax.random.fold_in(key, 1), (4, 4), 0, 2)
+    tn = project(tps, config)
+    want = exact_contract(np.asarray(tn))
+    mant, logw = bmps.amplitude(tn, 9, TruncParams(9, 1, 0.0, scheme="fast"))
+    got = float(mant) * np.exp(float(logw))
+    assert abs(got - want) < 1e-5 * abs(want)
+    # truncating regime: compare infidelity against the svd scheme
+    mant_f, logw_f = bmps.amplitude(tn, 6, TruncParams(6, 1, 0.0, scheme="fast"))
+    mant_s, logw_s = bmps.amplitude(tn, 6, TruncParams(6, 1, 0.0))
+    err_f = abs(float(mant_f) * np.exp(float(logw_f)) - want) / abs(want)
+    err_s = abs(float(mant_s) * np.exp(float(logw_s)) - want) / abs(want)
+    assert err_f < 3 * err_s + 1e-3, (err_f, err_s)
