@@ -18,7 +18,7 @@ import jax.numpy as jnp
 LY = LX = 8
 D = 8
 CHI = 32
-NCHAINS = 32
+NCHAINS = 128
 SCHEME = "fast"   # matmul-only compression (see contraction/bmps.py)
 DTYPE = jnp.float32
 BASELINE_SWEEPS_PER_SEC = 1.0

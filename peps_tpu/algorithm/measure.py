@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import signal
 from typing import Callable, NamedTuple
 
 import jax
@@ -120,6 +121,8 @@ class MeasurementParams:
     sweeps_between_samples: int = 1
     nchains: int = 64
     measure_offdiag_corr: bool = True
+    chunk_size: int = 0      # >0: collect in chunks, allowing graceful stop
+    handle_signals: bool = False  # SIGINT/SIGTERM -> stop + dump partial
 
 
 def measure(tps: jnp.ndarray, model, params: MeasurementParams,
@@ -165,8 +168,10 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
             tps, tps_t, cfgs, ks[1:], chi, trunc, rule)
         return new, ks[0], stats
 
-    @jax.jit
-    def collect(cfgs, k):
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames=("length",))
+    def collect(cfgs, k, length):
         def step(carry, _):
             cfgs, k, acc, tri = carry
             for _ in range(params.sweeps_between_samples):
@@ -178,7 +183,7 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
 
         init = (cfgs, k, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
         (cfgs, k, acc, tri), outs = jax.lax.scan(step, init, None,
-                                                 length=params.num_samples)
+                                                 length=length)
         return cfgs, k, acc, tri, outs
 
     # warm-up
@@ -186,7 +191,31 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
         key, ks = jax.random.split(key)
         configs, _, _ = sweep_all(configs, ks)
 
-    configs, key, acc, tri, outs = collect(configs, key)
+    # graceful-stop support (reference: MPISignalGuard, base/mpi_signal_guard.h:
+    # SIGINT/SIGTERM -> flag -> per-sweep check -> break and dump partials).
+    stop_flag = {"stop": False}
+    old_handlers = {}
+    if params.handle_signals:
+        def _handler(signum, frame):
+            stop_flag["stop"] = True
+        for sig in (signal.SIGINT, signal.SIGTERM):
+            old_handlers[sig] = signal.signal(sig, _handler)
+
+    try:
+        chunk = params.chunk_size if params.chunk_size > 0 else params.num_samples
+        collected = []
+        done = 0
+        acc = tri = 0
+        while done < params.num_samples and not stop_flag["stop"]:
+            n = min(chunk, params.num_samples - done)
+            configs, key, a, t, outs_c = collect(configs, key, n)
+            acc, tri = acc + int(a), tri + int(t)
+            collected.append(jax.tree.map(np.asarray, outs_c))
+            done += n
+        outs = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *collected)
+    finally:
+        for sig, h in old_handlers.items():
+            signal.signal(sig, h)
 
     stats, metas = {}, {}
     for k_name, arr in outs.items():
@@ -261,3 +290,23 @@ def particle_number_distribution(configs: np.ndarray, state: int) -> np.ndarray:
     n_sites = cfg.shape[-1] * cfg.shape[-2]
     counts = (cfg == state).sum(axis=(-1, -2)).reshape(-1)
     return np.bincount(counts, minlength=n_sites + 1) / counts.size
+
+
+def structure_factor(szsz_mean: np.ndarray, sz_mean: np.ndarray,
+                     ly: int, lx: int) -> np.ndarray:
+    """Spin structure factor S(q) = (1/N) sum_ij e^{iq(ri-rj)} <Sz_i Sz_j>_c
+    from the measured correlation matrix (reference:
+    structure_factor_measurement_mixin.h — computed there from S+S- walkers;
+    here from the diagonal channel). Returns [Ly, Lx] over q-grid."""
+    n = ly * lx
+    c = szsz_mean.reshape(n, n) - np.outer(sz_mean.reshape(-1),
+                                           sz_mean.reshape(-1))
+    coords = np.array([(y, x) for y in range(ly) for x in range(lx)])
+    qy = 2 * np.pi * np.fft.fftfreq(ly)
+    qx = 2 * np.pi * np.fft.fftfreq(lx)
+    out = np.zeros((ly, lx))
+    for iy, qy_ in enumerate(qy):
+        for ix, qx_ in enumerate(qx):
+            phase = np.exp(1j * (coords[:, 0] * qy_ + coords[:, 1] * qx_))
+            out[iy, ix] = np.real(phase.conj() @ c @ phase) / n
+    return out

@@ -100,3 +100,44 @@ def test_fermion_vmc_spinless_reaches_ed():
     result = opt.iterative_optimize(tps, evaluate, params)
     assert result.lowest_energy < e_ed + 5e-3 * abs(e_ed), \
         (result.lowest_energy, e_ed)
+
+
+@pytest.mark.slow
+def test_hubbard_conserving_sampler_stationary():
+    """Suwa-Todo with the U1xU1 conservation mask samples |psi|^2 within the
+    fixed (N_up, N_dn) sector (reference: square_hubbard_u1u1_updater.h)."""
+    from peps_tpu.montecarlo.engine import ChainState, MonteCarloEngine
+    from peps_tpu.montecarlo.sweep import UpdateRule
+    from peps_tpu.tps import exact_amplitude
+    import itertools
+
+    ly, lx, d = 2, 2, 4
+    tps = random_tps(jax.random.PRNGKey(11), ly, lx, d, 2,
+                     dtype=jnp.float64, scale=0.8)
+    n_up = np.array([0, 1, 0, 1]); n_dn = np.array([0, 0, 1, 1])
+    # sector: one up electron, one down electron
+    sector = [np.array(c).reshape(ly, lx)
+              for c in itertools.product(range(d), repeat=ly * lx)
+              if n_up[list(c)].sum() == 1 and n_dn[list(c)].sum() == 1]
+    probs = np.array([abs(exact_amplitude(np.asarray(tps), c)) ** 2
+                      for c in sector])
+    probs /= probs.sum()
+
+    mask = fm.hubbard_conserve_mask(d)
+    rule = UpdateRule("suwa_todo", conserve_mask=mask)
+    # start every chain from a sector config
+    c0 = jnp.asarray(np.stack([sector[0]] * 24)).astype(jnp.int32)
+    from peps_tpu.linalg import TruncParams
+    eng = MonteCarloEngine(tps, 8, TruncParams(8, 1, 0.0), rule,
+                           ChainState(c0, jax.random.PRNGKey(3)))
+    eng.warm_up(50)
+    counts = np.zeros(len(sector))
+    lookup = {tuple(c.ravel()): i for i, c in enumerate(sector)}
+    for _ in range(400):
+        eng.step_sweep()
+        for cfg in np.asarray(eng.state.configs):
+            key = tuple(cfg.ravel())
+            assert key in lookup, f"left the sector: {key}"
+            counts[lookup[key]] += 1
+    emp = counts / counts.sum()
+    assert np.max(np.abs(emp - probs)) < 0.025, (emp, probs)
