@@ -27,6 +27,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from peps_tpu.contraction import bmps
 from peps_tpu.linalg import TruncParams
@@ -168,3 +169,113 @@ def mc_sweep(tps, tps_t, config, key, chi, trunc: TruncParams,
     config = cfg_t.T
     return config, key, SweepStats(st_h.accepted + st_v.accepted,
                                    st_h.trials + st_v.trials)
+
+
+# ---------------------------------------------------------------------------
+# 3-site TNN cyclic-exchange pass (reference: square_3site_updater.h —
+# permutation updates over three consecutive sites, needed for ergodicity of
+# models with third-neighbour / ring terms).
+# ---------------------------------------------------------------------------
+
+_PERMS3 = np.array([[0, 1, 2], [0, 2, 1], [1, 0, 2],
+                    [1, 2, 0], [2, 0, 1], [2, 1, 0]], dtype=np.int32)
+
+
+def _sweep_rows_3site(tps, config, key, chi, trunc: TruncParams):
+    """One pass of Suwa-Todo permutation updates over all horizontal 3-site
+    windows. Returns (config', key', stats)."""
+    ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
+    if lx < 3:
+        return config, key, SweepStats(jnp.zeros((), jnp.int32),
+                                       jnp.zeros((), jnp.int32))
+    dtype = tps.dtype
+    tn = project(tps, config)
+    fstacks, _ = bmps.all_top_envs(bmps.flip_vertical(tn), chi, trunc)
+    bots = fstacks[::-1]
+    perms = jnp.asarray(_PERMS3)
+
+    def window_table(lenv, renv, tops3, bots3, cands3, cand_vals):
+        """Amplitudes of the candidate value-triples over the window."""
+        def one_scaled(v):
+            e = lenv
+            logw = jnp.zeros((), lenv.real.dtype)
+            for i in range(3):
+                site = cands3[i][v[i]]
+                e = bmps._col_transfer_left(e, tops3[i], site, bots3[i])
+                n = jnp.maximum(jnp.linalg.norm(e),
+                                jnp.finfo(e.real.dtype).tiny)
+                e = e / n
+                logw = logw + jnp.log(n)
+            amp = jnp.einsum("alc,alc->", e, renv)
+            return amp, logw
+
+        amps, logws = jax.vmap(one_scaled)(cand_vals)
+        lmax = jnp.max(logws)
+        return amps * jnp.exp(logws - lmax)
+
+    def win_step(carry, xs):
+        lenv, v2, v3, key, acc, tri = carry
+        t3, b3, renv, c3_in, cands1, cands2, cands3 = xs
+        key, k_pick = jax.random.split(key)
+        vals = jnp.stack([v2, v3, c3_in])
+        # Suwa-Todo precondition: the state list must have a FIXED order
+        # independent of the current arrangement (suwa_todo_update.h
+        # preconditions). Enumerate permutations of the SORTED multiset and
+        # zero duplicate configurations.
+        vals_sorted = jnp.sort(vals)
+        cand_vals = vals_sorted[perms]                    # [6, 3]
+        dup = jnp.zeros((6,), bool)
+        for i in range(1, 6):
+            same = jnp.any(jnp.all(cand_vals[:i] == cand_vals[i][None, :],
+                                   axis=1))
+            dup = dup.at[i].set(same)
+        amps = window_table(lenv, renv, t3, b3,
+                            (cands1, cands2, cands3), cand_vals)
+        w = jnp.abs(amps) ** 2 * (1.0 - dup.astype(amps.real.dtype))
+        cur_match = jnp.all(cand_vals == vals[None, :], axis=1) & (~dup)
+        cur_idx = jnp.argmax(cur_match).astype(jnp.int32)
+        new_idx = suwa_todo_pick(w, cur_idx, k_pick)
+        new_vals = cand_vals[new_idx]
+        acc = acc + (new_idx != cur_idx).astype(jnp.int32)
+        tri = tri + 1
+        s_new = cands1[new_vals[0]]
+        lenv = bmps._col_transfer_left(lenv, t3[0], s_new, b3[0])
+        n = jnp.maximum(jnp.linalg.norm(lenv), jnp.finfo(lenv.real.dtype).tiny)
+        lenv = lenv / n
+        return (lenv, new_vals[1], new_vals[2], key, acc, tri), new_vals[0]
+
+    def row_step(carry, xs):
+        top_bmps, key = carry
+        tps_row, cfg_row, bot = xs
+        tn_row = _project_row(tps_row, cfg_row)
+        rights = _right_btens(top_bmps, bot, tn_row, dtype)
+        chi_ = top_bmps.shape[1]
+        l0 = jnp.zeros((chi_, tn_row.shape[1], chi_), dtype).at[0, 0, 0].set(1.0)
+        key, k_row = jax.random.split(key)
+        nwin = lx - 2
+        t3 = jnp.stack([top_bmps[:nwin], top_bmps[1:nwin + 1],
+                        top_bmps[2:nwin + 2]], axis=1)   # [nwin, 3, ...]
+        b3 = jnp.stack([bot[:nwin], bot[1:nwin + 1], bot[2:nwin + 2]], axis=1)
+        xs_in = (t3, b3, rights[3:],
+                 cfg_row[2:],
+                 tps_row[:nwin], tps_row[1:nwin + 1], tps_row[2:nwin + 2])
+        init = (l0, cfg_row[0], cfg_row[1], k_row,
+                jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+        (l_f, v2, v3, _, acc, tri), heads = jax.lax.scan(win_step, init, xs_in)
+        new_cfg = jnp.concatenate([heads, v2[None], v3[None]])
+        tn_row_new = _project_row(tps_row, new_cfg)
+        res = bmps.absorb_row(top_bmps, tn_row_new, chi, trunc)
+        return (res.bmps, key), (new_cfg, acc, tri)
+
+    top0 = bmps.init_boundary(lx, chi, tps.shape[3], dtype)
+    (_, key), (new_config, accs, tris) = jax.lax.scan(
+        row_step, (top0, key), (tps, config, bots[1:]))
+    return new_config, key, SweepStats(jnp.sum(accs), jnp.sum(tris))
+
+
+def mc_sweep_3site(tps, tps_t, config, key, chi, trunc: TruncParams):
+    """Full 3-site permutation sweep: horizontal + vertical windows."""
+    config, key, st_h = _sweep_rows_3site(tps, config, key, chi, trunc)
+    cfg_t, key, st_v = _sweep_rows_3site(tps_t, config.T, key, chi, trunc)
+    return cfg_t.T, key, SweepStats(st_h.accepted + st_v.accepted,
+                                    st_h.trials + st_v.trials)

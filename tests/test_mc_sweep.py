@@ -99,3 +99,43 @@ def test_exchange_stationary_fast_scheme():
             counts[lookup[tuple(cfg.ravel())]] += 1
     emp = counts / counts.sum()
     assert np.max(np.abs(emp - probs)) < 0.02, (emp, probs)
+
+
+@pytest.mark.slow
+def test_3site_sweep_stationary():
+    """3-site permutation sweeps preserve |psi|^2 in the fixed-magnetization
+    sector (reference: square_3site_updater.h)."""
+    from peps_tpu.lattice import transpose_tps
+    from peps_tpu.montecarlo.sweep import mc_sweep_3site
+    from peps_tpu.algorithm.exact_sum import sector_configs
+    ly, lx = 2, 3
+    key = jax.random.PRNGKey(6)
+    tps = random_tps(key, ly, lx, 2, 2, dtype=jnp.float64, scale=0.9)
+    tps_t = transpose_tps(tps)
+    cfgs = sector_configs(ly, lx, {0: 3, 1: 3})
+    probs = _exact_probs(tps, cfgs)
+    from peps_tpu.montecarlo.sweep import mc_sweep
+
+    def combined(c, k):
+        # 3-site permutations alone conserve row/column multisets (not
+        # ergodic on the full sector); interleave with NN exchange. Any
+        # stationarity bias of the 3-site kernel would still show up.
+        c, k, _ = mc_sweep_3site(tps, tps_t, c, k, 8, TP)
+        c, k, _ = mc_sweep(tps, tps_t, c, k, 8, TP, UpdateRule("exchange"))
+        return c, k, None
+
+    sweep = jax.jit(combined)
+    nch = 16
+    states = [jnp.asarray(cfgs[i % len(cfgs)]) for i in range(nch)]
+    keys = [jax.random.PRNGKey(100 + i) for i in range(nch)]
+    for i in range(nch):
+        for _ in range(20):
+            states[i], keys[i], _ = sweep(states[i], keys[i])
+    counts = np.zeros(len(cfgs))
+    lookup = {tuple(c.ravel()): i for i, c in enumerate(cfgs)}
+    for _ in range(300):
+        for i in range(nch):
+            states[i], keys[i], _ = sweep(states[i], keys[i])
+            counts[lookup[tuple(np.asarray(states[i]).ravel())]] += 1
+    emp = counts / counts.sum()
+    assert np.max(np.abs(emp - probs)) < 0.025, (emp, probs)
