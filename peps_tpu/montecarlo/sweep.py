@@ -89,8 +89,12 @@ class SweepStats(NamedTuple):
     trials: jnp.ndarray
 
 
-def _sweep_rows(tps, config, key, chi, trunc: TruncParams, rule: UpdateRule):
-    """One pass over all horizontal bonds. Returns (config', key', stats)."""
+def _sweep_rows(tps, config, key, chi, trunc: TruncParams, rule: UpdateRule,
+                dress=None):
+    """One pass over all horizontal bonds. Returns (config', key', stats).
+
+    dress: optional JastrowDress — amplitude ratios pick up the dress factor
+    (reference: Jastrow-dressed t-J exchange, square_nn_updater.h:380)."""
     ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
     dtype = tps.dtype
     tn = project(tps, config)
@@ -99,12 +103,26 @@ def _sweep_rows(tps, config, key, chi, trunc: TruncParams, rule: UpdateRule):
     fstacks, _ = bmps.all_top_envs(bmps.flip_vertical(tn), chi, trunc)
     bots = fstacks[::-1]       # bots[y] closes rows y..Ly-1
     cmask = rule.mask_array(d)
+    if dress is not None:
+        nv = dress.nvals
+        field0 = dress.v @ nv[config].reshape(-1)   # F_i = sum_j v_ij n_j
 
     def bond_step(carry, xs):
-        lenv, c_cur, key, acc, tri = carry
-        t1, b1, t2, b2, renv, cands1, cands2, c2 = xs
+        lenv, c_cur, field, key, acc, tri = carry
+        t1, b1, t2, b2, renv, cands1, cands2, c2, i1 = xs
+        i2 = i1 + 1
         key, k_pick = jax.random.split(key)
         table = _pair_table(lenv, renv, t1, t2, b1, b2, cands1, cands2)
+        if dress is not None:
+            n1, n2 = nv[c_cur], nv[c2]
+            v12 = dress.v[i1, i2]
+            f1 = field[i1] - v12 * n2
+            f2 = field[i2] - v12 * n1
+            d1 = nv[:, None] - n1          # [d, 1]
+            d2 = nv[None, :] - n2          # [1, d]
+            dlog = (-d1 * f1 - d2 * f2
+                    - v12 * ((n1 + d1) * (n2 + d2) - n1 * n2))
+            table = table * jnp.exp(dlog).astype(table.dtype)
         cur_idx = (c_cur * d + c2).astype(jnp.int32)
         if rule.mode == "exchange":
             psi_cur = table[c_cur, c2]
@@ -127,45 +145,64 @@ def _sweep_rows(tps, config, key, chi, trunc: TruncParams, rule: UpdateRule):
             new2 = (new_idx % d).astype(config.dtype)
             acc = acc + (new_idx != cur_idx).astype(jnp.int32)
             tri = tri + 1
+        if dress is not None:
+            field = field + dress.v[:, i1] * (nv[new1] - nv[c_cur])                 + dress.v[:, i2] * (nv[new2] - nv[c2])
         s1_new = cands1[new1]
         lenv = bmps._col_transfer_left(lenv, t1, s1_new, b1)
         n = jnp.maximum(jnp.linalg.norm(lenv),
                         jnp.finfo(lenv.real.dtype).tiny)
         lenv = lenv / n
-        return (lenv, new2, key, acc, tri), new1
+        return (lenv, new2, field, key, acc, tri), new1
 
     def row_step(carry, xs):
-        top, key = carry
-        tps_row, cfg_row, bot = xs
+        top, key, field = carry
+        tps_row, cfg_row, bot, y = xs
         tn_row = _project_row(tps_row, cfg_row)
         rights = _right_btens(top, bot, tn_row, dtype)
         chi_ = top.shape[1]
         l0 = jnp.zeros((chi_, tn_row.shape[1], chi_), dtype).at[0, 0, 0].set(1.0)
         key, k_row = jax.random.split(key)
-        init = (l0, cfg_row[0], k_row, jnp.zeros((), jnp.int32),
+        init = (l0, cfg_row[0], field, k_row, jnp.zeros((), jnp.int32),
                 jnp.zeros((), jnp.int32))
         xs_in = (top[:lx - 1], bot[:lx - 1], top[1:], bot[1:], rights[2:],
-                 tps_row[:lx - 1], tps_row[1:], cfg_row[1:])
-        (l_f, c_last, _, acc, tri), new_heads = jax.lax.scan(bond_step, init, xs_in)
+                 tps_row[:lx - 1], tps_row[1:], cfg_row[1:],
+                 y * lx + jnp.arange(lx - 1))
+        (l_f, c_last, field, _, acc, tri), new_heads = jax.lax.scan(
+            bond_step, init, xs_in)
         new_cfg = jnp.concatenate([new_heads, c_last[None]])
         tn_row_new = _project_row(tps_row, new_cfg)
         res = bmps.absorb_row(top, tn_row_new, chi, trunc)
-        return (res.bmps, key), (new_cfg, acc, tri)
+        return (res.bmps, key, field), (new_cfg, acc, tri)
 
     top0 = bmps.init_boundary(lx, chi, tps.shape[3], dtype)
-    (_, key), (new_config, accs, tris) = jax.lax.scan(
-        row_step, (top0, key), (tps, config, bots[1:]))
+    field_init = field0 if dress is not None else jnp.zeros((ly * lx,), dtype)
+    (_, key, _), (new_config, accs, tris) = jax.lax.scan(
+        row_step, (top0, key, field_init),
+        (tps, config, bots[1:], jnp.arange(ly)))
     return new_config, key, SweepStats(jnp.sum(accs), jnp.sum(tris))
 
 
+def _transpose_dress(dress, ly, lx):
+    if dress is None:
+        return None
+    import numpy as _np
+    perm = _np.arange(ly * lx).reshape(ly, lx).T.reshape(-1)
+    v_t = dress.v[jnp.asarray(perm)][:, jnp.asarray(perm)]
+    return type(dress)(v_t, dress.nvals)
+
+
 def mc_sweep(tps, tps_t, config, key, chi, trunc: TruncParams,
-             rule: UpdateRule):
+             rule: UpdateRule, dress=None):
     """One full MC sweep: horizontal bonds then vertical bonds (via the
     diagonal-reflected lattice). tps_t = transpose_tps(tps) (precomputed).
+    Optional Jastrow dress multiplies all amplitude ratios.
 
     Returns (config', key', SweepStats)."""
-    config, key, st_h = _sweep_rows(tps, config, key, chi, trunc, rule)
-    cfg_t, key, st_v = _sweep_rows(tps_t, config.T, key, chi, trunc, rule)
+    ly, lx = config.shape
+    config, key, st_h = _sweep_rows(tps, config, key, chi, trunc, rule, dress)
+    dress_t = _transpose_dress(dress, ly, lx)
+    cfg_t, key, st_v = _sweep_rows(tps_t, config.T, key, chi, trunc, rule,
+                                   dress_t)
     config = cfg_t.T
     return config, key, SweepStats(st_h.accepted + st_v.accepted,
                                    st_h.trials + st_v.trials)
