@@ -490,12 +490,17 @@ def compress_variational(mps: jnp.ndarray, chi: int, trunc: TruncParams,
 # ---------------------------------------------------------------------------
 
 def _chol_lq(mat, eps_rel):
-    """mat = L @ Q with Q eps-approximately row-orthonormal; exact product."""
+    """mat = L @ Q with Q eps-approximately row-orthonormal; exact product.
+    The Gram matrix is trace-normalized before the Cholesky so the
+    factorization is scale-invariant (f32 under/overflow safety)."""
     m = mat.shape[0]
     g = mat @ jnp.conj(mat.T)
-    tr = jnp.real(jnp.trace(g))
-    eps = eps_rel * jnp.maximum(tr / m, jnp.finfo(mat.real.dtype).tiny)
-    l = jnp.linalg.cholesky(g + eps * jnp.eye(m, dtype=mat.dtype))
+    tr = jnp.maximum(jnp.real(jnp.trace(g)),
+                     jnp.finfo(mat.real.dtype).tiny)
+    scale = tr / m
+    gn = g / scale
+    l = jnp.linalg.cholesky(gn + eps_rel * jnp.eye(m, dtype=mat.dtype))
+    l = l * jnp.sqrt(scale).astype(mat.dtype)
     q = jax.scipy.linalg.solve_triangular(l, mat, lower=True)
     return l, q
 
@@ -507,9 +512,12 @@ def _subspace_project(mat, chi, key, eps_rel, power_iters=0):
 
     def orthonormalize(y):
         g = jnp.conj(y.T) @ y
-        tr = jnp.real(jnp.trace(g))
-        eps = eps_rel * jnp.maximum(tr / chi, jnp.finfo(mat.real.dtype).tiny)
-        l = jnp.linalg.cholesky(g + eps * jnp.eye(chi, dtype=mat.dtype))
+        tr = jnp.maximum(jnp.real(jnp.trace(g)),
+                         jnp.finfo(mat.real.dtype).tiny)
+        scale = tr / chi
+        l = jnp.linalg.cholesky(g / scale
+                                + eps_rel * jnp.eye(chi, dtype=mat.dtype))
+        l = l * jnp.sqrt(scale).astype(mat.dtype)
         q = jax.scipy.linalg.solve_triangular(l, jnp.conj(y.T), lower=True)
         q = jnp.conj(q.T)
         # one Newton-Schulz step kills the O(eps) orthonormality bias
@@ -535,7 +543,7 @@ def compress_fast(mps: jnp.ndarray, chi: int, trunc: TruncParams,
     lx, m, dv, _ = mps.shape
     dtype = mps.dtype
     if eps_rel is None:
-        eps_rel = 1e-12 if jnp.finfo(mps.real.dtype).bits >= 64 else 3e-7
+        eps_rel = 1e-12 if jnp.finfo(mps.real.dtype).bits >= 64 else 1e-5
     key = jax.random.PRNGKey(1234)  # fixed test matrix; deterministic
 
     left_t = mps[0, 0]
