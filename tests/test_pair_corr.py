@@ -1,0 +1,79 @@
+"""t-J singlet pair correlator vs explicit second-quantized ED."""
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from peps_tpu.algorithm.measure_fermion import tj_singlet_pair_corr_row
+from peps_tpu.linalg import TruncParams
+from peps_tpu.tps import random_tps
+from tests.ed_oracle import wavefunction_from_tps
+from tests.fermion_ed_oracle import _apply_ops, _config_to_occ, _occ_to_config
+
+N_UP = np.array([0, 1, 0])
+N_DN = np.array([0, 0, 1])
+
+
+def _pair_op_matrix(ly, lx, i_bond, k_bond, y):
+    """Dense matrix of Delta^dag_{(y, i)} Delta_{(y, k)} in the d=3 basis."""
+    d = 3
+    n = ly * lx
+    dim = d ** n
+    mat = np.zeros((dim, dim))
+    site_i = y * lx + i_bond
+    site_k = y * lx + k_bond
+
+    def mode(site, sp):
+        return 2 * site + sp
+
+    for cfg_t in itertools.product(range(d), repeat=n):
+        cfg = np.array(cfg_t)
+        occ = _config_to_occ(cfg.reshape(ly, lx), N_UP, N_DN, False)
+        col = int(np.ravel_multi_index(cfg, (d,) * n))
+        for sa, ca in ((0, 1.0), (1, -1.0)):       # Delta^dag channels
+            for sb, cb in ((0, 1.0), (1, -1.0)):   # Delta channels
+                ops = [("cdag", mode(site_i + 1, 1 - sa)),
+                       ("cdag", mode(site_i, sa)),
+                       ("c", mode(site_k, sb)),
+                       ("c", mode(site_k + 1, 1 - sb))]
+                r = _apply_ops(occ, ops)
+                if r is None:
+                    continue
+                sgn, new_occ = r
+                new_cfg = _occ_to_config(new_occ, d, N_UP, N_DN, False, n)
+                if new_cfg is None:
+                    continue
+                row = int(np.ravel_multi_index(new_cfg, (d,) * n))
+                mat[row, col] += 0.5 * ca * cb * sgn
+    return mat
+
+
+def test_pair_corr_matches_ed():
+    ly, lx = 2, 4
+    d = 3
+    chi = 16
+    tp = TruncParams(chi, 1, 0.0)
+    tps = random_tps(jax.random.PRNGKey(3), ly, lx, d, 2,
+                     dtype=jnp.float64, scale=0.8)
+    psi = wavefunction_from_tps(np.asarray(tps))
+    z = np.vdot(psi, psi)
+
+    # estimator: sum_s |psi(s)|^2 O(s) / Z
+    configs = np.array(list(itertools.product(range(d), repeat=ly * lx)),
+                       dtype=np.int32).reshape(-1, ly, lx)
+
+    def one(cfg):
+        return tj_singlet_pair_corr_row(tps, cfg, chi, tp)
+
+    tables = jax.vmap(one)(jnp.asarray(configs))
+    w = np.abs(psi) ** 2
+    got = np.einsum("s,syik->yik", w, np.asarray(tables)) / z
+
+    for y in range(ly):
+        for (i, k) in [(0, 2)]:
+            op = _pair_op_matrix(ly, lx, i, k, y)
+            want = float(np.real(psi @ op @ psi) / z)
+            assert abs(got[y, i, k] - want) < 1e-8 * max(1.0, abs(want)), \
+                (y, i, k, got[y, i, k], want)
+            assert abs(want) > 1e-12, "trivially-zero oracle"
