@@ -437,3 +437,24 @@ def local_energy_and_holes_dressed(tps, config, model: ModelTensors, dress,
         e = e + jnp.sum(model.h_site[config] * tables.ratio1)
     return EnergyHoles(e, tables.o_tensor, tables.log_abs_psi,
                        tables.psi_mant)
+
+
+def psi_consistency_check(tps, config, chi, trunc, bc=None):
+    """The same amplitude computed from every row-sandwich closure must agree
+    (reference: psi-consistency monitor, psi_consistency.h; surfaced per
+    sample by the measurer). Returns (max_rel_err, log_abs_psi_values)."""
+    tn = project(tps, config)
+    stacks = bmps.all_env_stacks(tn, chi, trunc)
+    ly = tn.shape[0]
+
+    def per_row(top, bot, row, lw):
+        envs = bmps.row_envs(top, bot, row)
+        mant = bmps.row_trace(envs, 0)
+        return jnp.log(jnp.maximum(jnp.abs(mant), 1e-300)) \
+            + envs.log_lefts[0] + envs.log_rights[0] + lw
+
+    logs = jax.vmap(per_row)(stacks.tops[:ly], stacks.bots[1:], tn,
+                             stacks.log_tops[:ly] + stacks.log_bots[1:])
+    ref = logs[0]
+    rel = jnp.max(jnp.abs(logs - ref))
+    return rel, logs

@@ -115,6 +115,7 @@ class OptimizerParams:
     checkpoint_every: int = 0
     checkpoint_path: str | None = None
     log_path: str | None = None            # JSONL per-iteration records
+    trajectory_csv: str | None = None      # energy trajectory CSV
     should_stop: Callable | None = None    # (iteration record) -> bool
 
     def lr_at(self, step: int, energy=None) -> float:
@@ -302,6 +303,12 @@ def iterative_optimize(state: jnp.ndarray,
     if params.log_path:
         os.makedirs(os.path.dirname(params.log_path) or ".", exist_ok=True)
         log_f = open(params.log_path, "a")
+    traj_f = None
+    if params.trajectory_csv:
+        os.makedirs(os.path.dirname(params.trajectory_csv) or ".",
+                    exist_ok=True)
+        traj_f = open(params.trajectory_csv, "a")
+        traj_f.write("step,energy,energy_error\n")
 
     nat_x0 = None
     for step in range(params.max_iters):
@@ -410,6 +417,9 @@ def iterative_optimize(state: jnp.ndarray,
         if log_f:
             log_f.write(json.dumps(rec._asdict()) + "\n")
             log_f.flush()
+        if traj_f:
+            traj_f.write(f"{step},{energy!r},{err!r}\n")
+            traj_f.flush()
         if params.checkpoint_every and params.checkpoint_path and \
                 (step + 1) % params.checkpoint_every == 0:
             os.makedirs(params.checkpoint_path, exist_ok=True)
@@ -422,4 +432,6 @@ def iterative_optimize(state: jnp.ndarray,
 
     if log_f:
         log_f.close()
+    if traj_f:
+        traj_f.close()
     return OptimizeResult(state, lowest_state, energies, lowest_e, records)

@@ -86,3 +86,12 @@ def test_exact_sum_gradient_complex_descends():
     e1 = float(exact_sum_energy_gradient(tps - step * res.gradient, configs,
                                          mt, CHI, TP, with_grad=False).energy)
     assert e1 < e0
+
+
+def test_psi_consistency_monitor():
+    from peps_tpu.algorithm.energy import psi_consistency_check
+    tps = random_tps(jax.random.PRNGKey(9), 3, 3, 2, 2, dtype=jnp.float64,
+                     scale=0.8)
+    cfg = jax.random.randint(jax.random.PRNGKey(10), (3, 3), 0, 2)
+    rel, logs = psi_consistency_check(tps, cfg, 16, TruncParams(16, 1, 0.0))
+    assert float(rel) < 1e-10, float(rel)
