@@ -16,3 +16,14 @@ import jax  # noqa: E402
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; the config flag wins.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches():
+    """Free compiled-executable memory between test modules (the suite
+    compiles hundreds of programs; unbounded caches can OOM the runner)."""
+    yield
+    jax.clear_caches()

@@ -66,7 +66,7 @@ def test_pair_corr_matches_ed():
     def one(cfg):
         return tj_singlet_pair_corr_row(tps, cfg, chi, tp)
 
-    tables = jax.vmap(one)(jnp.asarray(configs))
+    tables = jax.lax.map(one, jnp.asarray(configs), batch_size=256)
     w = np.abs(psi) ** 2
     got = np.einsum("s,syik->yik", w, np.asarray(tables)) / z
 
