@@ -124,3 +124,17 @@ class MonteCarloEngine:
             acc += int(st.accepted)
             tri += int(st.trials)
         return acc / max(tri, 1)
+
+
+def save_configs(path: str, configs: jnp.ndarray) -> None:
+    """Dump the chain configurations for warm restart of the next run
+    (reference: MonteCarloParams::config_dump_path)."""
+    import os
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.save(path if path.endswith(".npy") else path + ".npy",
+            np.asarray(configs))
+
+
+def load_configs(path: str) -> jnp.ndarray:
+    return jnp.asarray(np.load(path if path.endswith(".npy")
+                               else path + ".npy"))
