@@ -17,6 +17,15 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the suite compiles hundreds of programs and
+# XLA:CPU's in-process LLVM JIT can segfault after very many compilations;
+# caching to disk makes re-runs (and CI runs) read precompiled artifacts.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 
 import pytest
 
