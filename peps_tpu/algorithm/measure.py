@@ -128,18 +128,36 @@ class MeasurementParams:
 def measure(tps: jnp.ndarray, model, params: MeasurementParams,
             chi: int, trunc: TruncParams, rule: UpdateRule,
             configs: jnp.ndarray, key: jax.Array,
-            dump_dir: str | None = None) -> MeasureResult:
+            dump_dir: str | None = None, bc=None) -> MeasureResult:
     """Run the measurement loop and aggregate statistics."""
+    from peps_tpu.algorithm.energy_fermion import (
+        FermionTensors, local_energy_and_holes_fermion)
+    from peps_tpu.algorithm.energy_pbc import local_energy_and_holes_pbc
+    from peps_tpu.lattice import BoundaryCondition
+    from peps_tpu.models.fermion import FermionModel
+    from peps_tpu.montecarlo.sweep_pbc import mc_sweep_pbc
+
     ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
-    mt = model if isinstance(model, ModelTensors) else \
-        ModelTensors.from_model(model, tps.dtype)
+    periodic = bc == BoundaryCondition.PERIODIC
+    if isinstance(model, (ModelTensors, FermionTensors)):
+        mt = model
+    elif isinstance(model, FermionModel):
+        mt = FermionTensors.from_model(model, tps.dtype)
+    else:
+        mt = ModelTensors.from_model(model, tps.dtype)
+    if isinstance(mt, FermionTensors):
+        local_fn = local_energy_and_holes_fermion
+    elif periodic:
+        local_fn = local_energy_and_holes_pbc
+    else:
+        local_fn = local_energy_and_holes
     obs = standard_spin_observables(d) if d == 2 else None
     nc = configs.shape[0]
     tps_t = transpose_tps(tps)
 
     def per_sample(cfg):
-        res = local_energy_and_holes(tps, cfg, mt, chi, trunc,
-                                     with_holes=False)
+        res = local_fn(tps, cfg, mt, chi, trunc,
+                       with_holes=False)
         out = {"energy": jnp.real(res.e_loc)}
         if obs is not None:
             sv = jnp.asarray(obs["sz_values"], res.log_abs_psi.dtype)
@@ -147,7 +165,7 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
             out["sz"] = szmap
             flat = szmap.reshape(-1)
             out["szsz"] = jnp.outer(flat, flat)
-        if obs is not None and params.measure_offdiag_corr:
+        if obs is not None and params.measure_offdiag_corr and not periodic:
             tn = project(tps, cfg)
             stacks = bmps.all_env_stacks(tn, chi, trunc)
             op_a = jnp.asarray(obs["op_a"], tps.dtype)
@@ -163,9 +181,14 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
 
     def sweep_all(cfgs, k):
         ks = jax.random.split(k, nc + 1)
-        new, _, stats = jax.vmap(
-            mc_sweep, in_axes=(None, None, 0, 0, None, None, None))(
-            tps, tps_t, cfgs, ks[1:], chi, trunc, rule)
+        if periodic:
+            new, _, stats = jax.vmap(
+                mc_sweep_pbc, in_axes=(None, 0, 0, None, None, None))(
+                tps, cfgs, ks[1:], chi, trunc, rule)
+        else:
+            new, _, stats = jax.vmap(
+                mc_sweep, in_axes=(None, None, 0, 0, None, None, None))(
+                tps, tps_t, cfgs, ks[1:], chi, trunc, rule)
         return new, ks[0], stats
 
     from functools import partial as _partial

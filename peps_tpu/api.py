@@ -20,6 +20,19 @@ from peps_tpu.optimizer.optimizer import (AdaGradParams, AdamParams,
                                           SRParams)
 from peps_tpu.peps import (PEPS, SimpleUpdateParams, product_peps,
                            simple_update, to_tps)
+from peps_tpu.peps_cluster import simple_update_nnn, simple_update_triangle
+from peps_tpu.loop_update import LoopUpdateParams, loop_update
+from peps_tpu.models import fermion, spin
+from peps_tpu.algorithm.energy_fermion import FermionTensors
+from peps_tpu.algorithm.energy import (ModelTensors,
+                                       local_energy_and_holes_dressed,
+                                       psi_consistency_check)
+from peps_tpu.algorithm.exact_measure import exact_sum_measure
+from peps_tpu.algorithm.measure_fermion import tj_singlet_pair_corr_row
+from peps_tpu.contraction.pbc import (amplitude_pbc, contract_pbc,
+                                      punch_all_holes_pbc)
+from peps_tpu.montecarlo.jastrow import JastrowDress
+from peps_tpu.montecarlo.engine import load_configs, save_configs
 from peps_tpu.tps import load_tps, project, random_tps, save_tps
 
 __all__ = [
@@ -33,4 +46,11 @@ __all__ = [
     "LBFGSParams", "OptimizerParams",
     "PEPS", "SimpleUpdateParams", "product_peps", "simple_update", "to_tps",
     "random_tps", "project", "save_tps", "load_tps",
+    "simple_update_nnn", "simple_update_triangle",
+    "LoopUpdateParams", "loop_update",
+    "fermion", "spin", "FermionTensors", "ModelTensors",
+    "local_energy_and_holes_dressed", "psi_consistency_check",
+    "exact_sum_measure", "tj_singlet_pair_corr_row",
+    "amplitude_pbc", "contract_pbc", "punch_all_holes_pbc",
+    "JastrowDress", "load_configs", "save_configs",
 ]
