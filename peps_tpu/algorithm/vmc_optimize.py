@@ -50,6 +50,14 @@ class VMCResult(NamedTuple):
 def vmc_optimize(tps: jnp.ndarray, model, params: VMCParams,
                  key: jax.Array, callback=None) -> VMCResult:
     ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
+    model_d = getattr(model, "phys_dim", None)
+    if model_d is None:
+        nu = getattr(model, "n_up", None)
+        model_d = None if nu is None else nu.shape[0]
+    if model_d is not None and model_d != d:
+        raise ValueError(
+            f"model physical dimension {model_d} != TPS physical dimension "
+            f"{d} (tps shape {tps.shape})")
     from peps_tpu.algorithm.energy_fermion import FermionTensors
     from peps_tpu.models.fermion import FermionModel
     if isinstance(model, (ModelTensors, FermionTensors)):

@@ -35,7 +35,10 @@ def init_configs_occupancy(key: jax.Array, nchains: int, ly: int, lx: int,
     base = []
     for state, count in sorted(occupancy.items()):
         base.extend([state] * count)
-    assert len(base) == ly * lx
+    if len(base) != ly * lx:
+        raise ValueError(
+            f"occupancy counts sum to {len(base)} but the lattice has "
+            f"{ly * lx} sites ({ly}x{lx}); occupancy={occupancy!r}")
     base = jnp.asarray(np.array(base, dtype=np.int32))
 
     def one(k):
