@@ -225,7 +225,11 @@ def minsr_natural_gradient(evaluation: Evaluation, p: MinSRParams, shape):
     t = a @ jnp.conj(a.T)                     # [Ns, Ns] Gram (one matmul)
     lam, u = jnp.linalg.eigh(t)
     c = p.pseudo_inverse_cutoff * jnp.maximum(jnp.max(lam), 1e-300)
-    inv = lam ** 2 / (lam ** 3 + c ** 3)      # soft pseudo-inverse of T
+    # Even-power soft filter (reference minsr_eigensolve.h:44 uses
+    # l^5/(l^6+c^6)): safe for the small NEGATIVE eigenvalues eigh returns
+    # for a PSD Gram matrix under roundoff (odd powers can cross zero near
+    # lam ~ -c and blow up the natural gradient).
+    inv = lam ** 5 / (lam ** 6 + c ** 6)      # soft pseudo-inverse of T
     y = u @ (inv.astype(u.dtype) * (jnp.conj(u.T) @ eps.astype(u.dtype)))
     nat = jnp.conj(a.T) @ y
     return nat.reshape(shape)

@@ -25,6 +25,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def chains_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"chains_mesh: need {n_devices} devices, have {len(devs)} "
+                f"(platform {devs[0].platform}); for host testing set "
+                f"JAX_PLATFORMS=cpu and "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count="
+                f"{n_devices}")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), ("chains",))
 
