@@ -38,10 +38,10 @@ class MCParams:
 
 @partial(jax.jit, static_argnames=("chi", "trunc", "rule",
                                    "n_samples", "sweeps_between", "with_sr",
-                                   "bc"))
+                                   "bc", "with_grad"))
 def _mc_collect(tps, configs, key, model: ModelTensors, chi, trunc, rule,
                 n_samples, sweeps_between, with_sr,
-                bc=BoundaryCondition.OPEN):
+                bc=BoundaryCondition.OPEN, with_grad=True):
     """Scan the sample loop; returns e_locs [S, C], o sum / e*o sum (or full
     SR buffers), acceptance stats, final configs/key."""
     tps_t = transpose_tps(tps)
@@ -68,7 +68,7 @@ def _mc_collect(tps, configs, key, model: ModelTensors, chi, trunc, rule,
         else:
             local = local_energy_and_holes
         return jax.vmap(lambda c: local(
-            tps, c, model, chi, trunc, with_holes=True))(configs)
+            tps, c, model, chi, trunc, with_holes=with_grad))(configs)
 
     def step(carry, _):
         configs, key, acc, tri = carry
@@ -77,6 +77,9 @@ def _mc_collect(tps, configs, key, model: ModelTensors, chi, trunc, rule,
             acc = acc + jnp.sum(stats.accepted).astype(acc.dtype)
             tri = tri + jnp.sum(stats.trials).astype(tri.dtype)
         res = eval_all(configs)
+        if not with_grad:
+            out = (res.e_loc, None, None, None, res.log_abs_psi)
+            return (configs, key, acc, tri), out
         o_flat = res.o_tensor.reshape(nc, -1)
         out = (res.e_loc, o_flat if with_sr else None,
                jnp.sum(jnp.conj(o_flat), axis=0),
@@ -89,6 +92,21 @@ def _mc_collect(tps, configs, key, model: ModelTensors, chi, trunc, rule,
     (configs, key, acc, tri), outs = jax.lax.scan(step, init, None,
                                                   length=n_samples)
     return configs, key, acc, tri, outs
+
+
+def mc_energy_only(tps, configs, key, model: ModelTensors, chi: int,
+                   trunc: TruncParams, rule: UpdateRule,
+                   n_samples: int, sweeps_between: int = 1,
+                   bc: BoundaryCondition = BoundaryCondition.OPEN):
+    """Energy-only MC estimate — holes/gradients skipped (reference:
+    EvaluateEnergyOnly, mc_energy_grad_evaluator.h:343). Used by the step
+    selector and the energy-only L-BFGS line-search probes."""
+    _, _, _, _, outs = _mc_collect(
+        tps, configs, key, model, chi, trunc, rule,
+        n_samples, sweeps_between, with_sr=False, bc=bc, with_grad=False)
+    e_locs = outs[0]
+    energy, err = mean_and_binned_error(jnp.real(e_locs))
+    return energy, err
 
 
 def mc_energy_grad(tps, configs, key, model: ModelTensors, chi: int,

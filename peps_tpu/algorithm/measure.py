@@ -151,7 +151,12 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
         local_fn = local_energy_and_holes_pbc
     else:
         local_fn = local_energy_and_holes
-    obs = standard_spin_observables(d) if d == 2 else None
+    # spin observable set only for BOSONIC d=2 models: for fermionic d=2
+    # (spinless fermions) the off-diagonal s+s- walker correlators would be
+    # missing the Jordan-Wigner string and come out sign-wrong; fermionic
+    # observables go through measure_fermion instead.
+    obs = (standard_spin_observables(d)
+           if d == 2 and not isinstance(mt, FermionTensors) else None)
     nc = configs.shape[0]
     tps_t = transpose_tps(tps)
 

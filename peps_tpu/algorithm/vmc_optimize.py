@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 
 from peps_tpu.algorithm.energy import ModelTensors
-from peps_tpu.algorithm.mc_evaluator import MCParams, mc_energy_grad
+from peps_tpu.algorithm.mc_evaluator import (MCParams, mc_energy_grad,
+                                             mc_energy_only)
 from peps_tpu.linalg import TruncParams
 from peps_tpu.montecarlo.engine import (ChainState, ensure_validity,
                                         init_configs_occupancy,
@@ -110,7 +111,23 @@ def vmc_optimize(tps: jnp.ndarray, model, params: VMCParams,
         sampler["configs"], sampler["key"] = cfgs, k
         return ev
 
+    probe = {"n": 0}
+
+    def evaluate_energy_only(state):
+        """Energy-only probe (reference EvaluateEnergyOnly,
+        mc_energy_grad_evaluator.h:343) for the step selector / L-BFGS
+        line search. Probes do NOT advance the sampler state; each probe
+        gets a decorrelated key."""
+        probe["n"] += 1
+        k = jax.random.fold_in(sampler["key"], probe["n"])
+        e, _ = mc_energy_only(
+            state, sampler["configs"], k, mt, params.chi, params.trunc,
+            params.rule, params.mc.num_samples,
+            params.mc.sweeps_between_samples, bc=params.bc)
+        return e
+
     result = iterative_optimize(tps, evaluate, params.optimizer,
+                                evaluate_energy_only=evaluate_energy_only,
                                 callback=callback)
     return VMCResult(result.state, result.lowest_state, result.energies,
                      result.lowest_energy, result.records, sampler["configs"])

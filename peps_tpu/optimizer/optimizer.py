@@ -59,10 +59,12 @@ class SRParams:
     """Stochastic reconfiguration (natural gradient).
 
     diag_shift: Tikhonov shift on S. normalize_update: rescale the natural
-    gradient to unit S-norm (reference's normalize option)."""
+    gradient to unit S-norm (reference's normalize option). cg_warm_start:
+    seed each CG solve with the previous iteration's natural gradient."""
     cg: CGParams = CGParams()
     diag_shift: float = 1e-3
     normalize_update: bool = False
+    cg_warm_start: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -74,10 +76,23 @@ class MinSRParams:
 
 @dataclasses.dataclass(frozen=True)
 class LBFGSParams:
+    """L-BFGS (reference: optimizer_impl.h:1490 two-loop recursion +
+    StrongWolfeLBFGSStep_ :1551).
+
+    line_search: "strong_wolfe" (bracket + bisection zoom with gradient
+    probes, the reference default), "armijo" (energy-only backtracking —
+    cheap probes via evaluate_energy_only), or "fixed" (alpha = lr)."""
     history: int = 10
-    c1: float = 1e-4       # Armijo
-    c2: float = 0.9        # Wolfe curvature
-    max_line_search: int = 8
+    c1: float = 1e-4       # sufficient-decrease constant
+    c2: float = 0.9        # strong-Wolfe curvature constant
+    line_search: str = "strong_wolfe"
+    max_eval: int = 20     # evaluator-call budget per strong-Wolfe search
+    min_step: float = 1e-12
+    max_step: float = 1e3
+    tolerance_change: float = 1e-9
+    tolerance_grad: float = 0.0
+    fallback_scale: float = 0.1   # fixed fallback alpha = lr*scale on failure
+    max_line_search: int = 8      # armijo backtracks
     initial_step: float = 1.0
 
 
@@ -92,15 +107,27 @@ class StepSelectorParams:
 
 @dataclasses.dataclass(frozen=True)
 class SpikeParams:
-    """Reference: SpikeRecoveryParams + spike_detection.h (S1/S2 signals).
+    """Reference: SpikeRecoveryParams + spike_detection.h (signals S1-S4).
 
-    If the new energy error bar or gradient norm exceeds `threshold` x EMA,
-    the step is rejected: resample (retry evaluation) up to `max_retries`,
-    then rollback to the previous accepted state."""
+    S1: energy error bar > threshold x EMA         (pre-update)
+    S2: gradient norm    > threshold x EMA         (pre-update)
+    S3: natural-gradient norm > factor_ngrad x EMA, or <= the suspicious CG
+        iteration count (SR/MinSR only, post-solve)
+    S4: energy above EMA mean + sigma_k x EMA std (upward spike; opt-in via
+        enable_rollback)
+    Actions: resample (redo the MC evaluation, up to max_retries per signal)
+    then rollback — restore the previous accepted state AND the optimizer
+    moments (Adam m/v, AdaGrad accumulator, L-BFGS memory) as they were
+    before the rejected trajectory (reference optimizer_impl.h:255-280)."""
     enabled: bool = False
     threshold: float = 5.0
+    factor_ngrad: float = 5.0
+    sr_min_iters_suspicious: int = 0
+    enable_rollback: bool = False
+    sigma_k: float = 6.0
     ema_alpha: float = 0.2
     max_retries: int = 2
+    log_csv: str | None = None    # spike-event trigger log
 
 
 @dataclasses.dataclass(frozen=True)
@@ -255,6 +282,15 @@ class _LBFGSMemory:
                 self.s.pop(0)
                 self.y.pop(0)
 
+    def reset(self):
+        self.s, self.y = [], []
+
+    def snapshot(self):
+        return (list(self.s), list(self.y))
+
+    def restore(self, snap):
+        self.s, self.y = list(snap[0]), list(snap[1])
+
     def direction(self, grad):
         q = grad
         alphas = []
@@ -274,6 +310,82 @@ class _LBFGSMemory:
         return q
 
 
+def _strong_wolfe(eval_fg, phi0, dphi0, lr, p: LBFGSParams):
+    """Strong-Wolfe line search: bracketing + bisection zoom (reference:
+    StrongWolfeLBFGSStep_, optimizer_impl.h:1551). `eval_fg(alpha)` returns
+    (phi, dphi, candidate_state) at x + alpha*direction. Returns
+    (ok, candidate, alpha, n_evals)."""
+    if dphi0 >= 0.0:
+        return False, None, 0.0, 0
+    curv = max(-p.c2 * dphi0, p.tolerance_grad)
+    n = [0]
+
+    def ev(a):
+        n[0] += 1
+        return eval_fg(a)
+
+    def zoom(alo, phi_alo, ahi):
+        while n[0] < p.max_eval:
+            a = 0.5 * (alo + ahi)
+            phi, dphi, cand = ev(a)
+            if phi > phi0 + p.c1 * a * dphi0 or phi >= phi_alo:
+                ahi = a
+            else:
+                if abs(dphi) <= curv:
+                    return True, cand, a
+                if dphi * (ahi - alo) >= 0.0:
+                    ahi = alo
+                alo, phi_alo = a, phi
+            if abs(ahi - alo) <= p.tolerance_change:
+                break
+        return False, None, 0.0
+
+    a_prev, phi_prev = 0.0, phi0
+    a = min(max(lr, p.min_step), p.max_step)
+    outer = 0
+    while n[0] < p.max_eval:
+        phi, dphi, cand = ev(a)
+        if phi > phi0 + p.c1 * a * dphi0 or (outer > 0 and phi >= phi_prev):
+            ok, c, al = zoom(a_prev, phi_prev, a)
+            return ok, c, al, n[0]
+        if abs(dphi) <= curv:
+            return True, cand, a, n[0]
+        if dphi >= 0.0:
+            ok, c, al = zoom(a, phi, a_prev)
+            return ok, c, al, n[0]
+        a_prev, phi_prev = a, phi
+        na = min(2.0 * a, p.max_step)
+        if na - a <= p.tolerance_change:
+            break
+        a = na
+        outer += 1
+    return False, None, 0.0, n[0]
+
+
+class _EMA:
+    """EMA of mean and variance (reference: EMATracker, spike_detection.h)."""
+
+    def __init__(self, alpha):
+        self.alpha, self.mean, self.var = alpha, None, 0.0
+
+    @property
+    def initialized(self):
+        return self.mean is not None
+
+    def update(self, x):
+        if self.mean is None:
+            self.mean, self.var = x, 0.0
+        else:
+            a = self.alpha
+            d = x - self.mean
+            self.mean += a * d
+            self.var = (1 - a) * (self.var + a * d * d)
+
+    @property
+    def std(self):
+        return math.sqrt(max(self.var, 0.0))
+
+
 # ---------------------------------------------------------------------------
 # Iterative driver
 # ---------------------------------------------------------------------------
@@ -285,6 +397,7 @@ class OptimizeResult(NamedTuple):
     energies: list
     lowest_energy: float
     records: list
+    spike_events: list = []     # (step, signal, action, value, threshold)
 
 
 def iterative_optimize(state: jnp.ndarray,
@@ -294,15 +407,21 @@ def iterative_optimize(state: jnp.ndarray,
                        callback: Callable | None = None) -> OptimizeResult:
     """Main optimization loop (reference: Optimizer::IterativeOptimize,
     optimizer_impl.h:103). `evaluate(state, step)` must return an Evaluation
-    with o_samples/e_samples populated when using SR/MinSR."""
+    with o_samples/e_samples populated when using SR/MinSR.
+    `evaluate_energy_only(state)` (reference: EvaluateEnergyOnly,
+    mc_energy_grad_evaluator.h:343) powers the step selector and the
+    energy-only ("armijo") L-BFGS line search."""
     alg = params.algorithm
+    sp = params.spike
     opt_state: dict = {}
     lbfgs_mem = _LBFGSMemory(alg.history) if isinstance(alg, LBFGSParams) else None
     prev_state = state
     prev_grad = None
-    energies, records = [], []
+    energies, records, spike_events = [], [], []
     lowest_e, lowest_state = math.inf, state
-    ema_err, ema_gnorm = None, None
+    ema_err, ema_gnorm = _EMA(sp.ema_alpha), _EMA(sp.ema_alpha)
+    ema_ngrad, ema_energy = _EMA(sp.ema_alpha), _EMA(sp.ema_alpha)
+    accepted = None   # rollback snapshot: last accepted state + moments
     log_f = None
     if params.log_path:
         os.makedirs(os.path.dirname(params.log_path) or ".", exist_ok=True)
@@ -313,41 +432,82 @@ def iterative_optimize(state: jnp.ndarray,
                     exist_ok=True)
         traj_f = open(params.trajectory_csv, "a")
         traj_f.write("step,energy,energy_error\n")
+    spike_f = None
+    if sp.log_csv:
+        os.makedirs(os.path.dirname(sp.log_csv) or ".", exist_ok=True)
+        spike_f = open(sp.log_csv, "a")
+        spike_f.write("step,signal,action,value,threshold\n")
+
+    def log_spike(step, signal, action, value, thr):
+        spike_events.append((step, signal, action, value, thr))
+        if spike_f:
+            spike_f.write(f"{step},{signal},{action},{value!r},{thr!r}\n")
+            spike_f.flush()
 
     nat_x0 = None
     for step in range(params.max_iters):
         t0 = time.time()
         ev = evaluate(state, step)
-        retries = 0
-        # ---- spike detection (S1: error bar, S2: grad norm) ----
-        if params.spike.enabled:
-            while retries < params.spike.max_retries:
-                err = float(ev.energy_error) if ev.energy_error is not None else 0.0
-                gn = float(jnp.linalg.norm(ev.gradient))
-                bad = False
-                if ema_err is not None and err > params.spike.threshold * ema_err:
-                    bad = True
-                if ema_gnorm is not None and gn > params.spike.threshold * ema_gnorm:
-                    bad = True
-                if not bad:
+
+        def rollback():
+            """Restore the last accepted state AND its pre-update optimizer
+            moments (reference optimizer_impl.h:255-280)."""
+            nonlocal state, opt_state, prev_grad, nat_x0
+            if accepted is None:
+                return False
+            state = accepted["state"]
+            opt_state = dict(accepted["opt_state"])
+            if lbfgs_mem is not None:
+                lbfgs_mem.restore(accepted["lbfgs"])
+            prev_grad = None
+            nat_x0 = accepted["nat_x0"]
+            return True
+
+        # ---- S1/S2 (pre-update: error-bar / grad-norm anomaly) ----
+        if sp.enabled:
+            retries = 0
+            while True:
+                err_v = float(ev.energy_error) if ev.energy_error is not None else 0.0
+                gn_v = float(jnp.linalg.norm(ev.gradient))
+                signal = None
+                if ema_err.initialized and ema_err.mean > 0 and \
+                        err_v > sp.threshold * ema_err.mean:
+                    signal, val, thr = "S1", err_v, sp.threshold * ema_err.mean
+                elif ema_gnorm.initialized and ema_gnorm.mean > 0 and \
+                        gn_v > sp.threshold * ema_gnorm.mean:
+                    signal, val, thr = "S2", gn_v, sp.threshold * ema_gnorm.mean
+                if signal is None:
                     break
-                retries += 1
-                ev = evaluate(state, step)
-            else:
-                # rollback
-                state = prev_state
-                ev = evaluate(state, step)
+                if retries < sp.max_retries:
+                    log_spike(step, signal, "resample", val, thr)
+                    retries += 1
+                    ev = evaluate(state, step)
+                    continue
+                log_spike(step, signal, "rollback", val, thr)
+                if rollback():
+                    ev = evaluate(state, step)
+                break
+
+        # ---- S4 (EMA energy upward spike -> rollback; the reference
+        # detects this post-update at the next evaluation — checking right
+        # after evaluate is equivalent and skips the wasted update) ----
+        if sp.enable_rollback and ema_energy.initialized and step > 0:
+            e_v = float(ev.energy)
+            delta = e_v - ema_energy.mean
+            if delta > 0 and ema_energy.std > 0 and \
+                    delta > sp.sigma_k * ema_energy.std:
+                log_spike(step, "S4", "rollback", e_v,
+                          ema_energy.mean + sp.sigma_k * ema_energy.std)
+                if rollback():
+                    ev = evaluate(state, step)
         eval_s = time.time() - t0
 
         energy = float(ev.energy)
         err = float(ev.energy_error) if ev.energy_error is not None else 0.0
-        if ema_err is None:
-            ema_err = err
-        else:
-            a = params.spike.ema_alpha
-            ema_err = (1 - a) * ema_err + a * err
         gn = float(jnp.linalg.norm(ev.gradient))
-        ema_gnorm = gn if ema_gnorm is None else (1 - params.spike.ema_alpha) * ema_gnorm + params.spike.ema_alpha * gn
+        ema_err.update(err)
+        ema_gnorm.update(gn)
+        ema_energy.update(energy)
 
         energies.append(energy)
         if energy < lowest_e:
@@ -356,11 +516,10 @@ def iterative_optimize(state: jnp.ndarray,
         lr = params.lr_at(step, energy)
         grad = _clip(ev.gradient, params)
 
-        # ---- optional step-size selector ----
+        # ---- optional step-size selector (EvaluateEnergyOnly probes) ----
         sel = params.step_selector
         if sel is not None and evaluate_energy_only is not None and (
                 step == 0 or (sel.every_n and step % sel.every_n == 0)):
-            gn_sel = max(float(jnp.linalg.norm(grad)), 1e-300)
             best_lr, best_e = lr, None
             for mult in sel.candidates:
                 cand = state - (lr * mult) * grad
@@ -369,49 +528,117 @@ def iterative_optimize(state: jnp.ndarray,
                     best_e, best_lr = e_c, lr * mult
             lr = best_lr
 
+        # snapshot for rollback: this state's evaluation was deemed healthy,
+        # moments as they are before this iteration's update
+        pre_snapshot = {
+            "state": state, "opt_state": dict(opt_state),
+            "lbfgs": lbfgs_mem.snapshot() if lbfgs_mem is not None else None,
+            "nat_x0": nat_x0}
+
         # ---- update dispatch ----
         t1 = time.time()
         sr_iters, sr_res, nat_norm = 0, 0.0, 0.0
+        skip_update = False
         if isinstance(alg, SGDParams):
             new_state, opt_state = sgd_update(state, grad, lr, opt_state, alg)
         elif isinstance(alg, AdaGradParams):
             new_state, opt_state = adagrad_update(state, grad, lr, opt_state, alg)
         elif isinstance(alg, AdamParams):
             new_state, opt_state = adam_update(state, grad, lr, opt_state, alg)
-        elif isinstance(alg, SRParams):
-            nat, res = sr_natural_gradient(ev, alg, state.shape, state.dtype,
-                                           x0=nat_x0)
-            nat_x0 = res.x.reshape(-1) if False else None
-            sr_iters, sr_res = int(res.iterations), float(res.residual_norm)
-            nat_norm = float(jnp.linalg.norm(nat))
-            new_state = state - lr * nat.astype(state.dtype)
-        elif isinstance(alg, MinSRParams):
-            nat = minsr_natural_gradient(ev, alg, state.shape)
-            nat_norm = float(jnp.linalg.norm(nat))
-            new_state = state - lr * nat.astype(state.dtype)
-        elif isinstance(alg, LBFGSParams):
-            direction = -lbfgs_mem.direction(grad)
-            step_len = lr if step > 0 else min(lr, alg.initial_step / max(gn, 1e-12))
-            e_only = evaluate_energy_only or (lambda s: evaluate(s, step).energy)
-            # backtracking Armijo line search
-            gd = float(jnp.real(jnp.vdot(grad, direction)))
-            ok = False
-            for _ in range(alg.max_line_search):
-                cand = state + step_len * direction
-                e_new = float(e_only(cand))
-                if e_new <= energy + alg.c1 * step_len * gd:
-                    ok = True
+        elif isinstance(alg, (SRParams, MinSRParams)):
+            s3_attempts = 0
+            nat = None
+            while True:
+                if isinstance(alg, SRParams):
+                    nat, res = sr_natural_gradient(ev, alg, state.shape,
+                                                   state.dtype, x0=nat_x0)
+                    sr_iters = int(res.iterations)
+                    sr_res = float(res.residual_norm)
+                    few_iters = sr_iters <= sp.sr_min_iters_suspicious
+                else:
+                    nat = minsr_natural_gradient(ev, alg, state.shape)
+                    few_iters = False   # eigensolve: no CG-iteration signal
+                nat_norm = float(jnp.linalg.norm(nat))
+                # ---- S3 (post-solve natural-gradient anomaly) ----
+                if not (sp.enabled and step > 0):
                     break
-                step_len *= 0.5
-            new_state = state + step_len * direction if ok else state - lr * grad
+                s3 = few_iters or (
+                    ema_ngrad.initialized and ema_ngrad.mean > 0 and
+                    nat_norm > sp.factor_ngrad * ema_ngrad.mean)
+                if not s3:
+                    break
+                thr = sp.factor_ngrad * (ema_ngrad.mean or 0.0)
+                if s3_attempts < sp.max_retries:
+                    log_spike(step, "S3", "resample", nat_norm, thr)
+                    s3_attempts += 1
+                    ev = evaluate(state, step)
+                    continue
+                log_spike(step, "S3", "rollback", nat_norm, thr)
+                rollback()
+                skip_update = True
+                break
+            if skip_update:
+                new_state = state
+            else:
+                if isinstance(alg, SRParams) and alg.cg_warm_start:
+                    nat_x0 = res.x.reshape(-1)
+                ema_ngrad.update(nat_norm)
+                new_state = state - lr * nat.astype(state.dtype)
+        elif isinstance(alg, LBFGSParams):
             if prev_grad is not None:
-                lbfgs_mem.push(new_state - state, grad - prev_grad)
+                # matched curvature pair (s_{k-1}, y_{k-1}) =
+                # (x_k - x_{k-1}, g_k - g_{k-1})
+                lbfgs_mem.push(state - prev_state, grad - prev_grad)
+            direction = -lbfgs_mem.direction(grad)
+            gd = float(jnp.real(jnp.vdot(grad, direction)))
+            if gd >= 0.0:
+                # not a descent direction: reset memory, fall back to -g
+                # (reference optimizer_impl.h:631)
+                lbfgs_mem.reset()
+                direction = -grad
+                gd = -float(jnp.real(jnp.vdot(grad, grad)))
+            if alg.line_search == "fixed":
+                new_state = state + lr * direction
+            elif alg.line_search == "armijo":
+                e_only = evaluate_energy_only or (
+                    lambda s: evaluate(s, step).energy)
+                step_len = lr if step > 0 else min(
+                    lr, alg.initial_step / max(gn, 1e-12))
+                ok = False
+                for _ in range(alg.max_line_search):
+                    cand = state + step_len * direction
+                    if float(e_only(cand)) <= energy + alg.c1 * step_len * gd:
+                        ok = True
+                        break
+                    step_len *= 0.5
+                new_state = (state + step_len * direction if ok
+                             else state - lr * grad)
+            elif alg.line_search == "strong_wolfe":
+                def eval_fg(alpha):
+                    cand = state + alpha * direction
+                    ev_c = evaluate(cand, step)
+                    return (float(ev_c.energy),
+                            float(jnp.real(jnp.vdot(ev_c.gradient,
+                                                    direction))), cand)
+                ok, cand, alpha, _ = _strong_wolfe(eval_fg, energy, gd, lr,
+                                                   alg)
+                if ok:
+                    new_state = cand
+                else:
+                    fb = max(alg.min_step, lr * alg.fallback_scale)
+                    new_state = state + fb * direction
+            else:
+                raise ValueError(
+                    f"unknown L-BFGS line_search {alg.line_search!r}")
         else:
             raise ValueError(f"unknown algorithm {alg!r}")
         upd_s = time.time() - t1
 
-        prev_state = state
-        prev_grad = grad
+        if not skip_update:
+            # the S3-rejected state must not become the rollback anchor
+            accepted = pre_snapshot
+            prev_state = state
+            prev_grad = grad
         state = new_state
 
         rec = IterationRecord(step, energy, err, gn, lr,
@@ -438,4 +665,7 @@ def iterative_optimize(state: jnp.ndarray,
         log_f.close()
     if traj_f:
         traj_f.close()
-    return OptimizeResult(state, lowest_state, energies, lowest_e, records)
+    if spike_f:
+        spike_f.close()
+    return OptimizeResult(state, lowest_state, energies, lowest_e, records,
+                          spike_events)

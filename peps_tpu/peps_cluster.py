@@ -318,13 +318,29 @@ def simple_update_triangle(peps: PEPS, model, params: SimpleUpdateParams,
 
     g_up = make_cluster_gates(upper_h3(), tau, d, dt)
     g_lo = make_cluster_gates(lower_h3_transposed(), tau, d, dt)
+    g_ad = None
+    if h_ad is not None:
+        # anti-diagonal coupling (e.g. J2 of triangle_j1j2_heisenberg):
+        # applied as a separate horizontally-flipped cluster pass, where the
+        # anti-diagonal becomes the main (A,C) diagonal of the canonical
+        # cluster (same construction as simple_update_nnn's gate3_ad).
+        h3 = jnp.broadcast_to(
+            jnp.asarray(_pair_to_cluster_gate(h_ad, (0, 2), d, np.float64),
+                        dt), (ly - 1, lx - 1) + (d,) * 6)
+        g_ad = make_cluster_gates(h3, tau, d, dt)
 
     def one_step(p):
         p, err1 = apply_cluster_gates(p, g_up, params.trunc)
         pt = _transpose_peps(p)
         pt, err2 = apply_cluster_gates(pt, g_lo, params.trunc)
         p = _transpose_peps(pt)
-        return p, jnp.maximum(err1, err2)
+        err = jnp.maximum(err1, err2)
+        if g_ad is not None:
+            pf = flip_horizontal(p)
+            pf, err3 = apply_cluster_gates(pf, g_ad[:, ::-1], params.trunc)
+            p = flip_horizontal(pf)
+            err = jnp.maximum(err, err3)
+        return p, err
 
     step_fn = jax.jit(one_step)
     history = []

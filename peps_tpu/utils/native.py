@@ -7,8 +7,8 @@ from __future__ import annotations
 
 import ctypes
 import os
+import stat
 import subprocess
-import tempfile
 
 import numpy as np
 
@@ -26,8 +26,16 @@ def _build_and_load():
     src = os.path.abspath(src)
     if not os.path.exists(src):
         return None
-    cache_dir = os.path.join(tempfile.gettempdir(), "peps_tpu_native")
-    os.makedirs(cache_dir, exist_ok=True)
+    # per-user cache with owner-only permissions: a world-writable shared
+    # temp dir would let another local user pre-plant a library that CDLL
+    # loads into this process
+    base = os.environ.get("XDG_CACHE_HOME",
+                          os.path.join(os.path.expanduser("~"), ".cache"))
+    cache_dir = os.path.join(base, "peps_tpu")
+    os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+    st = os.stat(cache_dir)
+    if st.st_uid != os.getuid() or (st.st_mode & (stat.S_IWGRP | stat.S_IWOTH)):
+        return None
     lib_path = os.path.join(cache_dir, "libpeps_native.so")
     if (not os.path.exists(lib_path)
             or os.path.getmtime(lib_path) < os.path.getmtime(src)):

@@ -51,3 +51,33 @@ def test_triangle_cluster_su_runs_and_improves():
     e_end = energy_of_tps(np.asarray(to_tps(out.peps)), model)
     assert e_end < e_start
     assert abs(e_end - e_ed) < 0.15 * abs(e_ed), (e_start, e_end, e_ed)
+
+
+def test_triangle_j1j2_su_step_matches_exact_evolution():
+    """The h_ad (J2) anti-diagonal term must actually be evolved (advisor
+    finding: it was read but never applied). Oracle: one untruncated
+    triangle-SU step at small tau must match exact exp(-tau H)|psi> on the
+    FULL J1-J2 Hamiltonian with per-step infidelity scaling like the
+    Trotter error (~tau^4 for 1-|overlap| after one step)."""
+    import scipy.linalg as sla
+    from tests.ed_oracle import build_hamiltonian, wavefunction_from_tps
+
+    ly, lx, D = 2, 3, 8      # D=8: no truncation on 2x3
+    model = spin.triangle_j1j2_heisenberg(1.0, 0.5)
+    h = build_hamiltonian(model, ly, lx).toarray()
+    peps = product_peps(ly, lx, D, neel(ly, lx), 2, dtype=jnp.float64)
+    psi0 = wavefunction_from_tps(np.asarray(to_tps(peps)))
+    psi0 = psi0 / np.linalg.norm(psi0)
+    errs = []
+    for tau in (0.05, 0.025):
+        out = simple_update_triangle(
+            peps, model,
+            SimpleUpdateParams(steps=1, tau=tau, trunc=TruncParams(D, 1, 0.0)))
+        psi1 = wavefunction_from_tps(np.asarray(to_tps(out.peps)))
+        psi1 = psi1 / np.linalg.norm(psi1)
+        psi_ex = sla.expm(-tau * h) @ psi0
+        psi_ex = psi_ex / np.linalg.norm(psi_ex)
+        errs.append(1.0 - abs(np.vdot(psi_ex, psi1)))
+    assert errs[0] < 1e-6, errs
+    # halving tau must cut the infidelity by ~16x (allow slack: >=8x)
+    assert errs[1] < errs[0] / 8.0, errs

@@ -118,3 +118,135 @@ def test_complex_sr_descends():
         lr=0.2)
     result = opt.iterative_optimize(tps, make_eval(mt, configs, True), params)
     assert result.lowest_energy < e_ed + 5e-3 * abs(e_ed)
+
+
+def test_lbfgs_armijo_descends():
+    """Energy-only backtracking line search (cheap probes via
+    evaluate_energy_only)."""
+    mt, e_ed, tps, configs = setup()
+    params = opt.OptimizerParams(
+        max_iters=40, algorithm=opt.LBFGSParams(line_search="armijo"),
+        lr=0.05)
+    e_only = lambda s: exact_sum_evaluation(s, configs, mt, CHI, TP).energy
+    result = opt.iterative_optimize(tps, make_eval(mt, configs, False),
+                                    params, evaluate_energy_only=e_only)
+    e_start = result.energies[0]
+    assert result.lowest_energy < e_start - 0.3 * (e_start - e_ed)
+
+
+def test_step_selector_probes_and_descends():
+    """StepSelectorParams drives evaluate_energy_only probes at step 0
+    (reference: the initial step-length selector, optimizer_impl.h)."""
+    mt, e_ed, tps, configs = setup()
+    calls = []
+
+    def e_only(s):
+        calls.append(1)
+        return exact_sum_evaluation(s, configs, mt, CHI, TP).energy
+
+    params = opt.OptimizerParams(
+        max_iters=3, algorithm=opt.SGDParams(), lr=0.05,
+        step_selector=opt.StepSelectorParams(candidates=(0.5, 1.0, 2.0),
+                                             every_n=0))
+    result = opt.iterative_optimize(tps, make_eval(mt, configs, False),
+                                    params, evaluate_energy_only=e_only)
+    assert len(calls) == 3          # 3 candidates probed at step 0 only
+    assert result.energies[-1] < result.energies[0]
+
+
+def test_sr_cg_warm_start_same_solution():
+    """Warm-starting each CG solve with the previous natural gradient must
+    not change the optimization trajectory (both converge to the same tight
+    CG tolerance), and the warm-started path stays within a sane iteration
+    budget of the cold path."""
+    mt, e_ed, tps, configs = setup()
+
+    def run(ws):
+        params = opt.OptimizerParams(
+            max_iters=8,
+            algorithm=opt.SRParams(cg=CGParams(max_iter=500, tol=1e-10),
+                                   diag_shift=1e-3, cg_warm_start=ws),
+            lr=0.1)
+        return opt.iterative_optimize(tps, make_eval(mt, configs, True),
+                                      params)
+
+    r_ws, r_cold = run(True), run(False)
+    it_ws = sum(r.sr_iters for r in r_ws.records[1:])
+    it_cold = sum(r.sr_iters for r in r_cold.records[1:])
+    assert it_ws <= 1.3 * it_cold, (it_ws, it_cold)
+    assert abs(r_ws.energies[-1] - r_cold.energies[-1]) < 1e-5 * abs(e_ed)
+
+
+def test_spike_s1_resample():
+    """An inflated error bar at one step triggers an S1 resample; the run
+    recovers and descends (reference spike_detection.h S1)."""
+    mt, e_ed, tps, configs = setup()
+    base = make_eval(mt, configs, False)
+    hit = {"n": 0}
+
+    def evaluate(state, step):
+        ev = base(state, step)
+        if step == 3 and hit["n"] == 0:
+            hit["n"] += 1
+            return ev._replace(energy_error=jnp.asarray(10.0))
+        return ev._replace(energy_error=jnp.asarray(0.01))
+
+    params = opt.OptimizerParams(
+        max_iters=6, algorithm=opt.SGDParams(), lr=0.05,
+        spike=opt.SpikeParams(enabled=True, threshold=5.0, max_retries=2))
+    result = opt.iterative_optimize(tps, evaluate, params)
+    assert any(s == "S1" and a == "resample"
+               for _, s, a, _, _ in result.spike_events), result.spike_events
+    assert result.energies[-1] < result.energies[0]
+
+
+def test_spike_s3_natural_grad_resample():
+    """A one-off blow-up of the SR samples triggers an S3 (natural-gradient
+    anomaly) resample (reference DetectS3_, optimizer_impl.h:1890)."""
+    mt, e_ed, tps, configs = setup()
+    base = make_eval(mt, configs, True)
+    hit = {"n": 0}
+
+    def evaluate(state, step):
+        ev = base(state, step)
+        if step == 4 and hit["n"] == 0:
+            hit["n"] += 1
+            # blow up the SR right-hand side -> natural-grad norm anomaly
+            return ev._replace(gradient=100.0 * ev.gradient)
+        return ev
+
+    params = opt.OptimizerParams(
+        max_iters=6,
+        algorithm=opt.SRParams(cg=CGParams(max_iter=200, tol=1e-8),
+                               diag_shift=1e-3),
+        lr=0.1,
+        spike=opt.SpikeParams(enabled=True, threshold=1e9,  # mute S1/S2
+                              factor_ngrad=5.0, max_retries=2))
+    result = opt.iterative_optimize(tps, evaluate, params)
+    assert any(s == "S3" and a == "resample"
+               for _, s, a, _, _ in result.spike_events), result.spike_events
+
+
+def test_spike_s4_energy_rollback_restores_moments():
+    """An upward energy spike triggers an S4 rollback that restores the
+    previous accepted state AND the Adam moments (reference
+    optimizer_impl.h:255-280 + DetectS4_)."""
+    mt, e_ed, tps, configs = setup()
+    base = make_eval(mt, configs, False)
+    hit = {"n": 0}
+
+    def evaluate(state, step):
+        ev = base(state, step)
+        if step == 4 and hit["n"] == 0:
+            hit["n"] += 1
+            return ev._replace(energy=ev.energy + 100.0)
+        return ev
+
+    params = opt.OptimizerParams(
+        max_iters=8, algorithm=opt.AdamParams(), lr=0.02,
+        spike=opt.SpikeParams(enable_rollback=True, sigma_k=3.0,
+                              ema_alpha=0.5))
+    result = opt.iterative_optimize(tps, evaluate, params)
+    assert any(s == "S4" and a == "rollback"
+               for _, s, a, _, _ in result.spike_events), result.spike_events
+    assert result.energies[-1] < result.energies[0]
