@@ -91,7 +91,11 @@ def exact_sum_energy_gradient(tps: jnp.ndarray, configs: jnp.ndarray,
     (Wirtinger); for real parameters returns the true gradient dE/d(theta)
     = 2 Re <(E_loc - E) O*>.
     """
-    if isinstance(model, FermionTensors):
+    from peps_tpu.fermion.vmc import (GradedFermionModel,
+                                      local_energy_and_holes_graded)
+    if isinstance(model, GradedFermionModel):
+        local = local_energy_and_holes_graded
+    elif isinstance(model, FermionTensors):
         local = local_energy_and_holes_fermion
     elif bc == BoundaryCondition.PERIODIC:
         local = local_energy_and_holes_pbc
@@ -137,8 +141,12 @@ def exact_sum_evaluation(tps: jnp.ndarray, configs: jnp.ndarray,
       S = A^H A,   gradient = A^H eps   (x2 for real dtype).
     """
     from peps_tpu.optimizer.optimizer import Evaluation
+    from peps_tpu.fermion.vmc import (GradedFermionModel,
+                                      local_energy_and_holes_graded)
 
-    if isinstance(model, FermionTensors):
+    if isinstance(model, GradedFermionModel):
+        local = local_energy_and_holes_graded
+    elif isinstance(model, FermionTensors):
         local = local_energy_and_holes_fermion
     elif bc == BoundaryCondition.PERIODIC:
         local = local_energy_and_holes_pbc

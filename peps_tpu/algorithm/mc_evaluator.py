@@ -44,13 +44,22 @@ def _mc_collect(tps, configs, key, model: ModelTensors, chi, trunc, rule,
                 bc=BoundaryCondition.OPEN, with_grad=True):
     """Scan the sample loop; returns e_locs [S, C], o sum / e*o sum (or full
     SR buffers), acceptance stats, final configs/key."""
-    tps_t = transpose_tps(tps)
+    from peps_tpu.fermion.vmc import (GradedFermionModel,
+                                      local_energy_and_holes_graded,
+                                      mc_sweep_fermion)
+
+    graded = isinstance(model, GradedFermionModel)
+    tps_t = None if graded else transpose_tps(tps)
     nc = configs.shape[0]
     periodic = bc == BoundaryCondition.PERIODIC
 
     def sweep_all(configs, key):
         keys = jax.random.split(key, nc + 1)
-        if periodic:
+        if graded:
+            cfgs, _, stats = jax.vmap(
+                mc_sweep_fermion, in_axes=(None, None, 0, 0, None, None))(
+                tps, model.space, configs, keys[1:], chi, trunc)
+        elif periodic:
             cfgs, _, stats = jax.vmap(
                 mc_sweep_pbc, in_axes=(None, 0, 0, None, None, None))(
                 tps, configs, keys[1:], chi, trunc, rule)
@@ -61,7 +70,9 @@ def _mc_collect(tps, configs, key, model: ModelTensors, chi, trunc, rule,
         return cfgs, keys[0], stats
 
     def eval_all(configs):
-        if isinstance(model, FermionTensors):
+        if graded:
+            local = local_energy_and_holes_graded
+        elif isinstance(model, FermionTensors):
             local = local_energy_and_holes_fermion
         elif periodic:
             local = local_energy_and_holes_pbc

@@ -27,7 +27,8 @@ from peps_tpu.contraction import bmps
 from peps_tpu.lattice import transpose_tps
 from peps_tpu.linalg import TruncParams
 from peps_tpu.montecarlo.statistics import (integrated_autocorrelation_time,
-                                            mean_and_binned_error)
+                                            mean_and_binned_error,
+                                            mean_and_binned_error_batch)
 from peps_tpu.montecarlo.sweep import UpdateRule, mc_sweep
 from peps_tpu.tps import project
 
@@ -249,15 +250,15 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
     for k_name, arr in outs.items():
         if k_name == "log_abs_psi":
             continue
-        # arr: [S, C, *shape]
+        # arr: [S, C, *shape] — one vectorized binned reduction over the
+        # trailing axes (szsz on 16x16 is 65k scalars; a python loop here
+        # dominated wall time)
         a = np.asarray(arr)
         s, c = a.shape[:2]
         flat = a.reshape(s, c, -1)
-        means = np.empty(flat.shape[2])
-        errs = np.empty(flat.shape[2])
-        for i in range(flat.shape[2]):
-            m, e = mean_and_binned_error(jnp.asarray(flat[:, :, i]))
-            means[i], errs[i] = float(m), float(e)
+        m_v, e_v = mean_and_binned_error_batch(jnp.asarray(flat))
+        means = np.asarray(m_v, dtype=np.float64)
+        errs = np.asarray(e_v, dtype=np.float64)
         shape = a.shape[2:] if a.ndim > 2 else ()
         stats[k_name] = (means.reshape(shape) if shape else means[0],
                          errs.reshape(shape) if shape else errs[0])

@@ -60,13 +60,19 @@ def vmc_optimize(tps: jnp.ndarray, model, params: VMCParams,
             f"model physical dimension {model_d} != TPS physical dimension "
             f"{d} (tps shape {tps.shape})")
     from peps_tpu.algorithm.energy_fermion import FermionTensors
+    from peps_tpu.fermion.vmc import (GradedFermionModel,
+                                      ensure_validity_fermion,
+                                      mc_sweep_fermion,
+                                      normalize_state_order1_fermion)
     from peps_tpu.models.fermion import FermionModel
-    if isinstance(model, (ModelTensors, FermionTensors)):
+    if isinstance(model, (ModelTensors, FermionTensors,
+                          GradedFermionModel)):
         mt = model
     elif isinstance(model, FermionModel):
         mt = FermionTensors.from_model(model, tps.dtype)
     else:
         mt = ModelTensors.from_model(model, tps.dtype)
+    graded = isinstance(mt, GradedFermionModel)
 
     key, k_init, k_rescue = jax.random.split(key, 3)
     if params.occupancy is not None:
@@ -74,12 +80,27 @@ def vmc_optimize(tps: jnp.ndarray, model, params: VMCParams,
                                          dict(params.occupancy))
     else:
         configs = init_configs_uniform(k_init, params.mc.nchains, ly, lx, d)
-    configs, _ = ensure_validity(tps, configs, k_rescue, params.chi,
-                                 params.trunc)
-    tps = normalize_state_order1(tps, configs, params.chi, params.trunc)
+    if graded:
+        configs, _ = ensure_validity_fermion(tps, configs, k_rescue,
+                                             mt.space, params.chi,
+                                             params.trunc)
+        tps = normalize_state_order1_fermion(tps, configs, mt.space,
+                                             params.chi, params.trunc)
+    else:
+        configs, _ = ensure_validity(tps, configs, k_rescue, params.chi,
+                                     params.trunc)
+        tps = normalize_state_order1(tps, configs, params.chi, params.trunc)
 
     # warm-up
-    if params.bc == BoundaryCondition.PERIODIC:
+    if graded:
+        warm = jax.jit(lambda t, cfgs, k: jax.vmap(
+            mc_sweep_fermion, in_axes=(None, None, 0, 0, None, None))(
+            t, mt.space, cfgs, jax.random.split(k, cfgs.shape[0]),
+            params.chi, params.trunc))
+        for _ in range(params.mc.num_warmup_sweeps):
+            key, k_s = jax.random.split(key)
+            configs, _, _ = warm(tps, configs, k_s)
+    elif params.bc == BoundaryCondition.PERIODIC:
         from peps_tpu.montecarlo.sweep_pbc import mc_sweep_pbc
         warm = jax.jit(lambda t, cfgs, k: jax.vmap(
             mc_sweep_pbc, in_axes=(None, 0, 0, None, None, None))(

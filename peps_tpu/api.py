@@ -34,6 +34,15 @@ from peps_tpu.contraction.pbc import (amplitude_pbc, contract_pbc,
 from peps_tpu.montecarlo.jastrow import JastrowDress
 from peps_tpu.montecarlo.engine import load_configs, save_configs
 from peps_tpu.tps import load_tps, project, random_tps, save_tps
+# Z2-graded fermionic backend (graded tensors, fermionic simple update,
+# dressed projection, graded VMC)
+from peps_tpu.fermion.peps import (FermionSpace, fermion_simple_update,
+                                   product_fermion_peps, space_for_model,
+                                   to_tps_fermion)
+from peps_tpu.fermion.convert import fermion_project
+from peps_tpu.fermion.vmc import (GradedFermionModel, amplitude_fermion,
+                                  local_energy_and_holes_graded,
+                                  mc_sweep_fermion)
 
 __all__ = [
     "BoundaryCondition", "TruncParams", "UpdateRule",
@@ -53,4 +62,8 @@ __all__ = [
     "exact_sum_measure", "tj_singlet_pair_corr_row",
     "amplitude_pbc", "contract_pbc", "punch_all_holes_pbc",
     "JastrowDress", "load_configs", "save_configs",
+    "FermionSpace", "space_for_model", "product_fermion_peps",
+    "fermion_simple_update", "to_tps_fermion", "fermion_project",
+    "GradedFermionModel", "amplitude_fermion",
+    "local_energy_and_holes_graded", "mc_sweep_fermion",
 ]

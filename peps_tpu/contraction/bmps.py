@@ -495,9 +495,10 @@ def _chol_lq(mat, eps_rel):
     factorization is scale-invariant (f32 under/overflow safety)."""
     m = mat.shape[0]
     g = mat @ jnp.conj(mat.T)
-    tr = jnp.maximum(jnp.real(jnp.trace(g)),
-                     jnp.finfo(mat.real.dtype).tiny)
-    scale = tr / m
+    # floor AFTER the division: tiny/m is denormal and XLA:CPU flushes
+    # denormals to zero, turning a zero input into 0/0 = NaN
+    tr = jnp.real(jnp.trace(g))
+    scale = jnp.maximum(tr / m, jnp.finfo(mat.real.dtype).tiny)
     gn = g / scale
     l = jnp.linalg.cholesky(gn + eps_rel * jnp.eye(m, dtype=mat.dtype))
     l = l * jnp.sqrt(scale).astype(mat.dtype)
@@ -512,9 +513,9 @@ def _subspace_project(mat, chi, key, eps_rel, power_iters=0):
 
     def orthonormalize(y):
         g = jnp.conj(y.T) @ y
-        tr = jnp.maximum(jnp.real(jnp.trace(g)),
-                         jnp.finfo(mat.real.dtype).tiny)
-        scale = tr / chi
+        tr = jnp.real(jnp.trace(g))
+        # floor AFTER dividing (denormal flush-to-zero safety, see _chol_lq)
+        scale = jnp.maximum(tr / chi, jnp.finfo(mat.real.dtype).tiny)
         l = jnp.linalg.cholesky(g / scale
                                 + eps_rel * jnp.eye(chi, dtype=mat.dtype))
         l = l * jnp.sqrt(scale).astype(mat.dtype)

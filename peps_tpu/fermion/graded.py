@@ -124,6 +124,24 @@ def _axis_parity_sign(t_data, parity, axis) -> jnp.ndarray:
     return t_data * jnp.asarray(s, t_data.dtype)
 
 
+def operator_gt(mat4: jnp.ndarray, p_out1, p_out2, p_in1, p_in2) -> GT:
+    """Two-site operator as a graded tensor, from ORDERED matrix elements
+    mat4[a', b', a, b] = <a' b'| G |a b>.
+
+    The dual of a graded product reverses, (e_a o e_b)* =
+    (-1)^{p_a p_b} e*_b o e*_a, so storing the bra side in (a, b) axis order
+    requires the reversal sign (-1)^{p(a) p(b)} on the input legs. Apply
+    this AFTER any matrix exponential (expm acts on plain matrix elements).
+    Axes: (out1, out2, in1, in2), arrows (ket, ket, bra, bra)."""
+    p_in1 = np.asarray(p_in1)
+    p_in2 = np.asarray(p_in2)
+    sign = 1.0 - 2.0 * (np.outer(p_in1, p_in2) % 2)
+    data = mat4 * jnp.asarray(sign[None, None, :, :], mat4.dtype)
+    return GT(data,
+              (tuple(p_out1), tuple(p_out2), tuple(p_in1), tuple(p_in2)),
+              (False, False, True, True))
+
+
 def gconj(t: GT) -> GT:
     """Dagger without transposition: complex-conjugate data, flip arrows.
     (Axis order is kept; combine with gtranspose for a full adjoint.)"""

@@ -1,0 +1,372 @@
+"""Fermionic (Z2-graded) PEPS + fermionic simple update.
+
+TPU re-design of the reference's graded simple update
+(`square_lattice_peps_projection_impl.h:61-122` on fermionic qlten tensors;
+validated there by `tests/test_algorithm/test_fermion_simple_update.cpp`).
+
+Representation: same dense Gamma/Lambda arrays as the bosonic PEPS
+([Ly, Lx, d, D, D, D, D], axes p,u,l,d,r) plus a STATIC `FermionSpace`
+(physical parities + a fixed even/odd split of every virtual bond,
+D = d_even + d_odd). Site tensors are parity-EVEN; odd site occupations are
+made even by routing cumulative parity through the virtual bonds along the
+snake path (see `product_fermion_peps`). All Koszul signs are static masks
+fused by XLA (peps_tpu/fermion/graded.py).
+
+State semantics (what "the state" means, incl. all signs):
+`peps_tpu/fermion/exact.py` — snake-ordered Jordan-Wigner basis.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from peps_tpu.fermion.graded import (GT, gcontract, graded_svd_truncated,
+                                     gtranspose, operator_gt, split_parity)
+from peps_tpu.lattice import boundary_mask
+from peps_tpu.linalg import TruncParams, expm_taylor, safe_inverse
+from peps_tpu.peps import PEPS, SimpleUpdateParams, SimpleUpdateResult
+
+
+@dataclasses.dataclass(frozen=True)
+class FermionSpace:
+    """Static graded structure: physical parities + bond parity split."""
+    phys_parity: tuple      # len d, 0/1
+    d_even: int
+    d_odd: int
+
+    @property
+    def bond_dim(self):
+        return self.d_even + self.d_odd
+
+    @property
+    def bond_parity(self):
+        return split_parity(self.d_even, self.d_odd)
+
+
+def space_for_model(model, bond_dim: int) -> FermionSpace:
+    """Default space: parity from n_up+n_dn; even/odd split D/2 each."""
+    d = model.phys_dim
+    pp = tuple(int(model.n_up[i] + model.n_dn[i]) % 2 for i in range(d))
+    de = (bond_dim + 1) // 2
+    return FermionSpace(pp, de, bond_dim - de)
+
+
+def product_fermion_peps(ly: int, lx: int, space: FermionSpace,
+                         occupancy, dtype=jnp.float64) -> PEPS:
+    """Product state |occupancy> as an even graded PEPS: the cumulative
+    occupation parity is routed through the virtual bonds along the snake
+    path, keeping every site tensor parity-even (the reference instead adds
+    a 1-dim parity leg per tensor; routing avoids the extra leg). Requires
+    even TOTAL parity and d_odd >= 1 when any prefix parity is odd."""
+    from peps_tpu.fermion.exact import snake_order
+    occ = np.asarray(occupancy)
+    d = len(space.phys_parity)
+    D = space.bond_dim
+    pp = space.phys_parity
+    total = sum(pp[int(occ[y, x])] for y in range(ly) for x in range(lx)) % 2
+    assert total == 0, "product_fermion_peps needs even total parity"
+    odd_slot = space.d_even         # first odd index of the bond layout
+    g = np.zeros((ly, lx, d, D, D, D, D))
+    lam_v = np.zeros((ly + 1, lx, D))
+    lam_h = np.zeros((ly, lx + 1, D))
+    lam_v[:, :, 0] = 1.0
+    lam_h[:, :, 0] = 1.0
+    order = snake_order(ly, lx)
+    c = 0                            # cumulative parity before current site
+    for k, (y, x) in enumerate(order):
+        n_s = int(occ[y, x])
+        c_new = (c + pp[n_s]) % 2
+        # incoming leg (from previous snake site) and outgoing leg
+        idx = {"u": 0, "l": 0, "d": 0, "r": 0}
+        if k > 0:
+            py, px = order[k - 1]
+            leg_in = ("u" if py == y - 1 else ("l" if px == x - 1 else "r"))
+            if c:
+                assert space.d_odd >= 1, "need d_odd >= 1 for parity routing"
+                idx[leg_in] = odd_slot
+        if k + 1 < len(order):
+            ny, nx = order[k + 1]
+            leg_out = ("d" if ny == y + 1 else ("r" if nx == x + 1 else "l"))
+            if c_new:
+                assert space.d_odd >= 1
+                idx[leg_out] = odd_slot
+                # the path bond's Schmidt weight sits at the routed slot
+                if leg_out == "d":
+                    lam_v[y + 1, x, 0] = 0.0
+                    lam_v[y + 1, x, odd_slot] = 1.0
+                elif leg_out == "r":
+                    lam_h[y, x + 1, 0] = 0.0
+                    lam_h[y, x + 1, odd_slot] = 1.0
+                else:   # "l": bond between (y, x-1) and (y, x)
+                    lam_h[y, x, 0] = 0.0
+                    lam_h[y, x, odd_slot] = 1.0
+        g[y, x, n_s, idx["u"], idx["l"], idx["d"], idx["r"]] = 1.0
+        c = c_new
+    return PEPS(jnp.asarray(g, dtype), jnp.asarray(lam_v, dtype),
+                jnp.asarray(lam_h, dtype))
+
+
+def to_tps_fermion(peps: PEPS) -> jnp.ndarray:
+    """Absorb sqrt(lambda) into sites (lambdas are parity-neutral positive
+    diagonals, so this is sign-free — same as the bosonic ToTPS)."""
+    from peps_tpu.peps import to_tps
+    return to_tps(peps)
+
+
+# ---------------------------------------------------------------------------
+# graded pair-update kernels (the fermionic NearestNeighborSiteProject)
+# ---------------------------------------------------------------------------
+
+
+def _fused_parity(groups):
+    """Row-major XOR fuse of a list of parity tuples."""
+    ps = [np.asarray(p) for p in groups]
+    tot = np.zeros([len(p) for p in ps], dtype=np.int64)
+    for ax, p in enumerate(ps):
+        shape = [1] * len(ps)
+        shape[ax] = len(p)
+        tot = tot + p.reshape(shape)
+    return tuple((tot % 2).reshape(-1).tolist())
+
+
+def _svd_split(th_data, space: FermionSpace):
+    """Shared tail: blockwise truncated SVD of the gated pair tensor
+    [P_A', legsA..., P_B', legsB...] (3 virtual legs per group) +
+    evaluation-sign absorption so the decomposition reconstructs theta
+    under gcontract (A's new primal leg contracts first against B's dual
+    leg, a (-1)^p pairing)."""
+    pp, pb = space.phys_parity, space.bond_parity
+    d, D = len(pp), space.bond_dim
+    de, do = space.d_even, space.d_odd
+    mat = th_data.reshape(d * D ** 3, d * D ** 3)
+    gp = _fused_parity([pp, pb, pb, pb])
+    u, s, vt, terr, pbn = graded_svd_truncated(mat, gp, gp, de, do)
+    norm = jnp.linalg.norm(s)
+    lam_new = s / jnp.maximum(norm, jnp.finfo(s.dtype).tiny)
+    sgn = jnp.asarray(1.0 - 2.0 * np.asarray(pbn), vt.dtype)
+    vt = sgn[:, None] * vt
+    return (u.reshape(d, D, D, D, D), vt.reshape(D, d, D, D, D),
+            lam_new, terr, jnp.log(norm), pbn)
+
+
+def _bond_energy_diag(th, h_bond, theta, space):
+    """Heuristic mean-field bond energy <theta_g|h|theta_g>/<.|.> (the
+    reference's local-energy estimate in the simple-update metrics;
+    diagnostic only — exact energies come from the VMC path)."""
+    pp = space.phys_parity
+    Hh = operator_gt(jnp.asarray(h_bond, th.data.dtype), pp, pp, pp, pp)
+    hth = gcontract(Hh, (2, 3), th, (0, 1))
+    num = jnp.vdot(th.data, hth.data)
+    den = jnp.vdot(th.data, th.data)
+    return jnp.real(num) / jnp.maximum(jnp.real(den),
+                                       jnp.finfo(den.real.dtype).tiny)
+
+
+def _pair_kernel_h(a, b, lu_a, ll_a, ld_a, lu_b, ld_b, lr_b, lam_mid,
+                   gate, h_bond, space: FermionSpace):
+    """Graded two-site projection, horizontal bond. a = LEFT site, b = RIGHT.
+    gate/h_bond [d,d,d,d] in (A', B', A, B) graded layout (A's modes first).
+    Returns (a', b', lam', bond_e, trunc_err, log_norm)."""
+    pp, pb = space.phys_parity, space.bond_parity
+    duals = (False, True, True, False, False)
+    par5 = (pp, pb, pb, pb, pb)
+
+    a_abs = jnp.einsum("puldr,u,l,d,r->puldr", a, lu_a, ll_a, ld_a, lam_mid)
+    b_abs = jnp.einsum("puldr,u,d,r->puldr", b, lu_b, ld_b, lr_b)
+    A = GT(a_abs, par5, duals)
+    B = GT(b_abs, par5, duals)
+    theta = gcontract(A, (4,), B, (2,))
+    # axes: pA uA lA dA | pB uB dB rB
+    G = operator_gt(jnp.asarray(gate, a.dtype), pp, pp, pp, pp)
+    th = gcontract(G, (2, 3), theta, (0, 4))
+    # axes: PA' PB' uA lA dA uB dB rB
+    bond_e = _bond_energy_diag(th, h_bond, theta, space)
+    th = gtranspose(th, (0, 2, 3, 4, 1, 5, 6, 7))
+    # axes: PA' uA lA dA | PB' uB dB rB
+    u5, vt5, lam_new, terr, log_norm, pbn = _svd_split(th.data, space)
+    ga = u5                                          # (p,u,l,d,r_new)
+    GB = GT(vt5, (pbn, pp, pb, pb, pb), (True, False, True, False, False))
+    gb = gtranspose(GB, (1, 2, 0, 3, 4)).data        # (p,u,l_new,d,r)
+    ga = jnp.einsum("puldr,u,l,d->puldr", ga, safe_inverse(lu_a),
+                    safe_inverse(ll_a), safe_inverse(ld_a))
+    gb = jnp.einsum("puldr,u,d,r->puldr", gb, safe_inverse(lu_b),
+                    safe_inverse(ld_b), safe_inverse(lr_b))
+    return ga, gb, lam_new, bond_e, terr, log_norm
+
+
+def _pair_kernel_v(a, b, lu_a, ll_a, lr_a, ll_b, ld_b, lr_b, lam_mid,
+                   gate, h_bond, space: FermionSpace):
+    """Graded two-site projection, vertical bond. a = UPPER site (earlier in
+    snake order), b = LOWER. gate layout (A', B', A, B), A's modes first."""
+    pp, pb = space.phys_parity, space.bond_parity
+    duals = (False, True, True, False, False)
+    par5 = (pp, pb, pb, pb, pb)
+
+    a_abs = jnp.einsum("puldr,u,l,d,r->puldr", a, lu_a, ll_a, lam_mid, lr_a)
+    b_abs = jnp.einsum("puldr,l,d,r->puldr", b, ll_b, ld_b, lr_b)
+    A = GT(a_abs, par5, duals)
+    B = GT(b_abs, par5, duals)
+    theta = gcontract(A, (3,), B, (1,))
+    # axes: pA uA lA rA | pB lB dB rB
+    G = operator_gt(jnp.asarray(gate, a.dtype), pp, pp, pp, pp)
+    th = gcontract(G, (2, 3), theta, (0, 4))
+    # axes: PA' PB' uA lA rA lB dB rB
+    bond_e = _bond_energy_diag(th, h_bond, theta, space)
+    th = gtranspose(th, (0, 2, 3, 4, 1, 5, 6, 7))
+    # axes: PA' uA lA rA | PB' lB dB rB
+    u5, vt5, lam_new, terr, log_norm, pbn = _svd_split(th.data, space)
+    GA = GT(u5, (pp, pb, pb, pb, pbn), (False, True, True, False, False))
+    ga = gtranspose(GA, (0, 1, 2, 4, 3)).data        # (p,u,l,d_new,r)
+    GB = GT(vt5, (pbn, pp, pb, pb, pb), (True, False, True, False, False))
+    gb = gtranspose(GB, (1, 0, 2, 3, 4)).data        # (p,u_new,l,d,r)
+    ga = jnp.einsum("puldr,u,l,r->puldr", ga, safe_inverse(lu_a),
+                    safe_inverse(ll_a), safe_inverse(lr_a))
+    gb = jnp.einsum("puldr,l,d,r->puldr", gb, safe_inverse(ll_b),
+                    safe_inverse(ld_b), safe_inverse(lr_b))
+    return ga, gb, lam_new, bond_e, terr, log_norm
+
+
+# ---------------------------------------------------------------------------
+# checkerboard sweep + driver (mirrors peps_tpu.peps.simple_update)
+# ---------------------------------------------------------------------------
+
+
+def _apply_h_sublattice(peps: PEPS, xs, gate, h_bond, space: FermionSpace):
+    """Batched graded update of site-disjoint horizontal bonds (y, x)-(y,
+    x+1) for x in xs, all rows. gate/h_bond: [Ly, Lx-1, d,d,d,d]."""
+    g, lam_v, lam_h = peps
+    ly = g.shape[0]
+    d = g.shape[2]
+    D = g.shape[3]
+    xs_arr = jnp.asarray(xs)
+    gA = g[:, xs_arr].reshape(-1, *g.shape[2:])
+    gB = g[:, xs_arr + 1].reshape(-1, *g.shape[2:])
+    lu_a = lam_v[:ly, xs_arr].reshape(-1, D)
+    ld_a = lam_v[1:, xs_arr].reshape(-1, D)
+    ll_a = lam_h[:, xs_arr].reshape(-1, D)
+    lam_mid = lam_h[:, xs_arr + 1].reshape(-1, D)
+    lu_b = lam_v[:ly, xs_arr + 1].reshape(-1, D)
+    ld_b = lam_v[1:, xs_arr + 1].reshape(-1, D)
+    lr_b = lam_h[:, xs_arr + 2].reshape(-1, D)
+    gate_b = gate[:, xs_arr].reshape(-1, d, d, d, d)
+    h_b = h_bond[:, xs_arr].reshape(-1, d, d, d, d)
+    ga, gb, lam_new, be, terr, ln = jax.vmap(
+        _pair_kernel_h, in_axes=(0,) * 11 + (None,))(
+        gA, gB, lu_a, ll_a, ld_a, lu_b, ld_b, lr_b, lam_mid, gate_b, h_b,
+        space)
+    nb = len(xs)
+    g = g.at[:, xs_arr].set(ga.reshape(ly, nb, *g.shape[2:]))
+    g = g.at[:, xs_arr + 1].set(gb.reshape(ly, nb, *g.shape[2:]))
+    lam_h = lam_h.at[:, xs_arr + 1].set(lam_new.reshape(ly, nb, -1))
+    return (PEPS(g, lam_v, lam_h), jnp.sum(be), jnp.max(terr), jnp.sum(ln))
+
+
+def _apply_v_sublattice(peps: PEPS, ys, gate, h_bond, space: FermionSpace):
+    """Batched graded update of vertical bonds (y, x)-(y+1, x) for y in ys."""
+    g, lam_v, lam_h = peps
+    lx = g.shape[1]
+    d = g.shape[2]
+    D = g.shape[3]
+    ys_arr = jnp.asarray(ys)
+    gA = g[ys_arr].reshape(-1, *g.shape[2:])
+    gB = g[ys_arr + 1].reshape(-1, *g.shape[2:])
+    lu_a = lam_v[ys_arr].reshape(-1, D)
+    lam_mid = lam_v[ys_arr + 1].reshape(-1, D)
+    ll_a = lam_h[ys_arr][:, :lx].reshape(-1, D)
+    lr_a = lam_h[ys_arr][:, 1:].reshape(-1, D)
+    ll_b = lam_h[ys_arr + 1][:, :lx].reshape(-1, D)
+    lr_b = lam_h[ys_arr + 1][:, 1:].reshape(-1, D)
+    ld_b = lam_v[ys_arr + 2].reshape(-1, D)
+    gate_b = gate[ys_arr].reshape(-1, d, d, d, d)
+    h_b = h_bond[ys_arr].reshape(-1, d, d, d, d)
+    ga, gb, lam_new, be, terr, ln = jax.vmap(
+        _pair_kernel_v, in_axes=(0,) * 11 + (None,))(
+        gA, gB, lu_a, ll_a, lr_a, ll_b, ld_b, lr_b, lam_mid, gate_b, h_b,
+        space)
+    ny = len(ys)
+    g = g.at[ys_arr].set(ga.reshape(ny, lx, *g.shape[2:]))
+    g = g.at[ys_arr + 1].set(gb.reshape(ny, lx, *g.shape[2:]))
+    lam_v = lam_v.at[ys_arr + 1].set(lam_new.reshape(ny, lx, -1))
+    return (PEPS(g, lam_v, lam_h), jnp.sum(be), jnp.max(terr), jnp.sum(ln))
+
+
+def fermion_sweep(peps: PEPS, gate_h, gate_v, h_h, h_v,
+                  space: FermionSpace):
+    """One checkerboard sweep over all horizontal then vertical bonds."""
+    ly, lx = peps.ly, peps.lx
+    e_sum = jnp.zeros((), peps.gammas.real.dtype)
+    log_norm = jnp.zeros((), peps.gammas.real.dtype)
+    terr = jnp.zeros((), peps.gammas.real.dtype)
+    for xs in (tuple(range(0, lx - 1, 2)), tuple(range(1, lx - 1, 2))):
+        if not xs:
+            continue
+        peps, e, t, ln = _apply_h_sublattice(peps, xs, gate_h, h_h, space)
+        e_sum, terr, log_norm = e_sum + e, jnp.maximum(terr, t), log_norm + ln
+    for ys in (tuple(range(0, ly - 1, 2)), tuple(range(1, ly - 1, 2))):
+        if not ys:
+            continue
+        peps, e, t, ln = _apply_v_sublattice(peps, ys, gate_v, h_v, space)
+        e_sum, terr, log_norm = e_sum + e, jnp.maximum(terr, t), log_norm + ln
+    return peps, (e_sum, log_norm, terr)
+
+
+def fermion_simple_update(peps: PEPS, model, space: FermionSpace,
+                          params: SimpleUpdateParams,
+                          step_observer: Callable | None = None
+                          ) -> SimpleUpdateResult:
+    """Imaginary-time evolution of a fermionic PEPS (the reference's graded
+    SimpleUpdateExecutor, validated by test_fermion_simple_update.cpp).
+
+    Gates are exp(-tau h2) of the second-quantized bond Hamiltonian in the
+    graded ordered basis (fermion/gates.py); single-site terms (mu, U) are
+    folded into the bonds exactly."""
+    from peps_tpu.fermion.gates import bond_h2
+    from peps_tpu.peps import fold_site_into_bonds
+
+    d = peps.phys_dim
+    ly, lx = peps.ly, peps.lx
+    dt = peps.gammas.dtype
+    hh = jnp.asarray(bond_h2(model, "h"), dt)
+    hv = jnp.asarray(bond_h2(model, "v"), dt)
+    if model.h_site is not None:
+        hh_b, hv_b = fold_site_into_bonds(hh, hv, jnp.asarray(model.h_site,
+                                                              dt), ly, lx)
+        hh_b, hv_b = jnp.asarray(hh_b, dt), jnp.asarray(hv_b, dt)
+    else:
+        hh_b = jnp.broadcast_to(hh, (ly, lx - 1, d, d, d, d))
+        hv_b = jnp.broadcast_to(hv, (ly - 1, lx, d, d, d, d))
+    tau = params.tau
+    make_gate = jax.vmap(lambda m: expm_taylor(-tau * m))
+    gate_h = make_gate(hh_b.reshape(-1, d * d, d * d)).reshape(
+        ly, lx - 1, d, d, d, d)
+    gate_v = make_gate(hv_b.reshape(-1, d * d, d * d)).reshape(
+        ly - 1, lx, d, d, d, d)
+
+    sweep = jax.jit(lambda p: fermion_sweep(p, gate_h, gate_v, hh_b, hv_b,
+                                            space))
+    history = []
+    e_prev, stall, converged, en = None, 0, False, float("nan")
+    step = 0
+    for step in range(1, params.steps + 1):
+        peps, (e0, log_norm, terr) = sweep(peps)
+        e0 = float(e0)
+        en = -float(log_norm) / tau
+        history.append(e0)
+        if step_observer is not None:
+            step_observer(step=step, e0=e0, en=en, trunc_err=float(terr))
+        if params.energy_abs_tol > 0 and e_prev is not None \
+                and step >= params.min_steps:
+            if abs(e0 - e_prev) < params.energy_abs_tol:
+                stall += 1
+                if stall >= params.patience:
+                    converged = True
+                    break
+            else:
+                stall = 0
+        e_prev = e0
+    return SimpleUpdateResult(peps, history[-1] if history else float("nan"),
+                              en, step, converged, history)

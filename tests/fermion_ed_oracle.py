@@ -15,10 +15,25 @@ import scipy.sparse as sp
 from peps_tpu.models.fermion import FermionModel
 
 
-def _config_to_occ(config, n_up, n_dn, spinless):
-    """Flatten a lattice config to the mode occupation vector."""
+def _site_sequence(ly, lx, order):
+    """Site (y, x) list in JW order: "row" = row-major, "snake" =
+    boustrophedon (even rows left-to-right, odd rows right-to-left) — the
+    planar-compatible order used by the graded PEPS backend."""
+    out = []
+    for y in range(ly):
+        xs = range(lx) if (order == "row" or y % 2 == 0) \
+            else range(lx - 1, -1, -1)
+        for x in xs:
+            out.append((y, x))
+    return out
+
+
+def _config_to_occ(config, n_up, n_dn, spinless, order="row"):
+    """Flatten a lattice config to the mode occupation vector (JW order)."""
+    ly, lx = config.shape
     occ = []
-    for s in config.ravel():
+    for (y, x) in _site_sequence(ly, lx, order):
+        s = config[y, x]
         if spinless:
             occ.append(int(n_up[s]))
         else:
@@ -27,14 +42,17 @@ def _config_to_occ(config, n_up, n_dn, spinless):
     return np.array(occ, dtype=np.int8)
 
 
-def _occ_to_config(occ, d, n_up, n_dn, spinless, n_sites):
+def _occ_to_config(occ, d, n_up, n_dn, spinless, n_sites, seq=None,
+                   shape=None):
     """Inverse mapping; returns None if some site pattern is not in the local
-    basis (e.g. double occupancy for t-J)."""
+    basis (e.g. double occupancy for t-J). With `seq`/`shape`, returns the
+    [ly, lx] lattice config for that site sequence; else a flat row-major
+    config."""
     table = {}
     for s in range(d):
         key = (int(n_up[s]),) if spinless else (int(n_up[s]), int(n_dn[s]))
         table[key] = s
-    cfg = []
+    states = []
     for i in range(n_sites):
         if spinless:
             key = (int(occ[i]),)
@@ -42,8 +60,13 @@ def _occ_to_config(occ, d, n_up, n_dn, spinless, n_sites):
             key = (int(occ[2 * i]), int(occ[2 * i + 1]))
         if key not in table:
             return None
-        cfg.append(table[key])
-    return np.array(cfg)
+        states.append(table[key])
+    if seq is None:
+        return np.array(states)
+    cfg = np.zeros(shape, dtype=np.int64)
+    for (y, x), s in zip(seq, states):
+        cfg[y, x] = s
+    return cfg.ravel()
 
 
 def _apply_c(occ, m):
@@ -78,15 +101,18 @@ def _apply_ops(occ, ops):
     return sign, cur
 
 
-def build_fermion_hamiltonian(model: FermionModel, ly: int, lx: int) -> sp.csr_matrix:
+def build_fermion_hamiltonian(model: FermionModel, ly: int, lx: int,
+                              order: str = "row") -> sp.csr_matrix:
     d = model.phys_dim
     n_sites = ly * lx
     ns = 1 if model.spinless else 2
     dim = d ** n_sites
     rows, cols, vals = [], [], []
+    seq = _site_sequence(ly, lx, order)
+    rank = {s: i for i, s in enumerate(seq)}
 
     def mode(y, x, sp_):
-        return ns * (y * lx + x) + sp_
+        return ns * rank[(y, x)] + sp_
 
     def add(row_cfg, col_cfg, v):
         r = int(np.ravel_multi_index(row_cfg, (d,) * n_sites))
@@ -104,7 +130,7 @@ def build_fermion_hamiltonian(model: FermionModel, ly: int, lx: int) -> sp.csr_m
     for cfg_t in configs:
         cfg = np.array(cfg_t)
         occ = _config_to_occ(cfg.reshape(ly, lx), model.n_up, model.n_dn,
-                             model.spinless)
+                             model.spinless, order)
         for (s1y, s1x), (s2y, s2x), orient in bonds:
             channels = model.channels_h if orient == "h" else model.channels_v
             i1, i2 = s1y * lx + s1x, s2y * lx + s2x
@@ -125,7 +151,7 @@ def build_fermion_hamiltonian(model: FermionModel, ly: int, lx: int) -> sp.csr_m
                         sgn, new_occ = r
                         new_cfg = _occ_to_config(new_occ, d, model.n_up,
                                                  model.n_dn, model.spinless,
-                                                 n_sites)
+                                                 n_sites, seq, (ly, lx))
                         if new_cfg is None:
                             continue
                         add(new_cfg, cfg, amp * sgn)
@@ -166,7 +192,7 @@ def build_fermion_hamiltonian(model: FermionModel, ly: int, lx: int) -> sp.csr_m
                             sgn, new_occ = r
                             new_cfg = _occ_to_config(new_occ, dloc, model.n_up,
                                                      model.n_dn, model.spinless,
-                                                     n_sites)
+                                                     n_sites, seq, (ly, lx))
                             if new_cfg is None:
                                 continue
                             add(new_cfg, cfg, v * sgn)
