@@ -38,18 +38,33 @@ class ModelTensors(NamedTuple):
     """Dense coupling tensors of a square-lattice model (any may be None).
 
     Conventions: h[p1', p2', p1, p2] = <p1' p2'| h |p1 p2>; h_d acts on
-    (y,x)-(y+1,x+1), h_ad on (y+1,x)-(y,x+1); h_site[p', p]."""
+    (y,x)-(y+1,x+1), h_ad on (y+1,x)-(y,x+1); h_site[p', p].
+
+    Longer-range two-site couplings (reference traces
+    ReplaceSqrt5DistTwoSiteTrace / ReplaceTNNSiteTrace,
+    bmps_contractor.h:904,923): h_s5a on ((y+1,x),(y,x+2)) with index order
+    (lower-left, upper-right); h_s5b on ((y+2,x),(y,x+1)) with index order
+    (lower-left, upper-right); h_tnn_h on ((y,x),(y,x+2)); h_tnn_v on
+    ((y,x),(y+2,x))."""
     h_h: jnp.ndarray | None
     h_v: jnp.ndarray | None
     h_d: jnp.ndarray | None
     h_ad: jnp.ndarray | None
     h_site: jnp.ndarray | None
+    h_s5a: jnp.ndarray | None = None
+    h_s5b: jnp.ndarray | None = None
+    h_tnn_h: jnp.ndarray | None = None
+    h_tnn_v: jnp.ndarray | None = None
 
     @classmethod
     def from_model(cls, model, dtype):
         conv = lambda m: None if m is None else jnp.asarray(m, dtype)
         return cls(conv(model.h_h), conv(model.h_v), conv(model.h_d),
-                   conv(model.h_ad), conv(model.h_site))
+                   conv(model.h_ad), conv(model.h_site),
+                   conv(getattr(model, "h_s5a", None)),
+                   conv(getattr(model, "h_s5b", None)),
+                   conv(getattr(model, "h_tnn_h", None)),
+                   conv(getattr(model, "h_tnn_v", None)))
 
 
 class EnergyHoles(NamedTuple):
@@ -139,9 +154,11 @@ def _pair_row_envs(top, bot, row1, row2, dtype):
     return lefts, rights
 
 
-def _pair_pass(tps, tn, config, h_v, h_d, h_ad, stacks):
-    """Vertical + diagonal + anti-diagonal bond energies from two-row
-    sandwiches. Returns a scalar energy sum."""
+def _pair_pass(tps, tn, config, h_v, h_d, h_ad, stacks, h_s5=None):
+    """Vertical + diagonal + anti-diagonal (+ sqrt5) bond energies from
+    two-row sandwiches. h_s5 couples ((y+1, x), (y, x+2)) over a 3-column
+    window (reference: ReplaceSqrt5DistTwoSiteTrace, bmps_contractor.h:923).
+    Returns a scalar energy sum."""
     ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
     dtype = tps.dtype
     rdt = tn.real.dtype if jnp.iscomplexobj(tn) else tn.dtype
@@ -194,12 +211,58 @@ def _pair_pass(tps, tn, config, h_v, h_d, h_ad, stacks):
                 psi_b = table[jnp.arange(nb), cq, cp]
                 safe = jnp.where(psi_b == 0, 1.0, psi_b)
                 e = e + jnp.sum(h_ad[cq, cp] * table / safe[:, None, None])
+
+        nb2 = lx - 2
+        if nb2 > 0 and h_s5 is not None:
+            # sqrt5 pair: lower-left (row2 @ x, index q) with upper-right
+            # (row1 @ x+2, index p); middle column x+1 unchanged
+            tl, bl = top[:nb2], bot[:nb2]
+            t = jnp.einsum("xamnc,xauA->xmncuA", lefts[:nb2], tl)
+            t = jnp.einsum("xmncuA,xumdr->xncAdr", t, row1[:nb2])
+            t = jnp.einsum("xncAdr,xqdnef->xqcAref", t, cands2[:nb2])
+            lblk = jnp.einsum("xqcAref,xceC->xqArfC", t, bl)
+            # transfer through the unchanged middle column
+            tm, bm = top[1:nb2 + 1], bot[1:nb2 + 1]
+            t = jnp.einsum("xqamnc,xauA->xqmncuA", lblk, tm)
+            t = jnp.einsum("xqmncuA,xumdr->xqncAdr", t, row1[1:nb2 + 1])
+            t = jnp.einsum("xqncAdr,xdnef->xqcAref", t, row2[1:nb2 + 1])
+            lblk2 = jnp.einsum("xqcAref,xceC->xqArfC", t, bm)
+            # right column x+2: row1 replaced (p), row2 unchanged
+            s = jnp.einsum("xauA,xArfC->xaurfC", top[2:], rights[3:])
+            s = jnp.einsum("xaurfC,xpumdr->xpamdfC", s, cands1[2:])
+            s = jnp.einsum("xpamdfC,xdnef->xpamneC", s, row2[2:])
+            rblk = jnp.einsum("xpamneC,xceC->xpamnc", s, bot[2:])
+            table = jnp.einsum("xqABCE,xpABCE->xqp", lblk2, rblk)
+            cq, cp = c2[:nb2], c1[2:]
+            psi_b = table[jnp.arange(nb2), cq, cp]
+            safe = jnp.where(psi_b == 0, 1.0, psi_b)
+            e = e + jnp.sum(h_s5[cq, cp] * table / safe[:, None, None])
         return e
 
     es = jax.vmap(per_pair)(stacks.tops[:ly - 1], stacks.bots[2:],
                             tn[:ly - 1], tn[1:], tps[:ly - 1], tps[1:],
                             config[:ly - 1], config[1:])
     return jnp.sum(es)
+
+
+def _tnn_row_pass(tps, tn, config, h_tnn, stacks):
+    """Third-NN in-row bond energies ((y,x)-(y,x+2)) from single-row
+    sandwiches (reference: ReplaceTNNSiteTrace, bmps_contractor.h:904)."""
+    ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
+
+    def per_row(top, bot, row, row_cands):
+        envs = bmps.row_envs(top, bot, row)
+        return bmps.replace_tnn_site_traces(
+            envs, top, bot, row_cands[:lx - 2], row[1:lx - 1],
+            row_cands[2:])
+
+    tnn = jax.vmap(per_row)(stacks.tops[:ly], stacks.bots[1:], tn, tps)
+    c1, c2 = config[:, :lx - 2], config[:, 2:]
+    psi_b = jnp.take_along_axis(
+        jnp.take_along_axis(tnn, c1[:, :, None, None], axis=2).squeeze(2),
+        c2[:, :, None], axis=2).squeeze(2)
+    safe = jnp.where(psi_b == 0, 1.0, psi_b)
+    return jnp.sum(h_tnn[c1, c2] * tnn / safe[:, :, None, None])
 
 
 def local_energy_and_holes(tps: jnp.ndarray, config: jnp.ndarray,
@@ -223,9 +286,33 @@ def local_energy_and_holes(tps: jnp.ndarray, config: jnp.ndarray,
         hrows = model.h_site[config]          # [Ly, Lx, d]
         e = e + jnp.sum(hrows * ratio1)
 
-    if (model.h_v is not None) or (model.h_d is not None) or (model.h_ad is not None):
+    if (model.h_v is not None) or (model.h_d is not None) \
+            or (model.h_ad is not None) or (model.h_s5a is not None):
         e = e + _pair_pass(tps, tn, config, model.h_v, model.h_d, model.h_ad,
-                           stacks)
+                           stacks, h_s5=model.h_s5a)
+    if model.h_tnn_h is not None:
+        e = e + _tnn_row_pass(tps, tn, config, model.h_tnn_h, stacks)
+
+    # sqrt5 family B ((y+2,x)-(y,x+1)) and vertical TNN live in the
+    # TRANSPOSED frame, where they become family A / horizontal TNN
+    # (reference evaluates them in the vertical BMPS approach,
+    # spin_onehalf_triangle_heisenbergJ1J2_sqrpeps.h:423-446)
+    if (model.h_s5b is not None) or (model.h_tnn_v is not None):
+        from peps_tpu.lattice import transpose_tps
+        tps_t = transpose_tps(tps)
+        cfg_t = config.T
+        tn_t = project(tps_t, cfg_t)
+        stacks_t = bmps.all_env_stacks(tn_t, chi, trunc)
+        if model.h_s5b is not None:
+            # transposed roles: q = original site2 = (y, x+1),
+            # p = original site1 = (y+2, x); h_s5b is given in (site1,
+            # site2) order -> swap both bra and ket pairs
+            h_eff = jnp.transpose(model.h_s5b, (1, 0, 3, 2))
+            e = e + _pair_pass(tps_t, tn_t, cfg_t, None, None, None,
+                               stacks_t, h_s5=h_eff)
+        if model.h_tnn_v is not None:
+            e = e + _tnn_row_pass(tps_t, tn_t, cfg_t, model.h_tnn_v,
+                                  stacks_t)
 
     # full-amplitude diagnostics from the top stack
     final = stacks.tops[ly]

@@ -351,6 +351,32 @@ def replace_nn_site_traces(envs: RowEnvs, top: jnp.ndarray, bot: jnp.ndarray,
     return jnp.einsum("xkalc,xjalc->xkj", t1, t2)
 
 
+def replace_tnn_site_traces(envs: RowEnvs, top: jnp.ndarray, bot: jnp.ndarray,
+                            cand1: jnp.ndarray, mid: jnp.ndarray,
+                            cand2: jnp.ndarray) -> jnp.ndarray:
+    """psi mantissas with the third-NN in-row pair (x, x+2) replaced and the
+    middle site x+1 unchanged.
+
+    cand1: [Lx-2, K1, u, l, d, r], mid: [Lx-2, u, l, d, r] (= row[x+1]),
+    cand2: [Lx-2, K2, u, l, d, r]. Returns [Lx-2, K1, K2].
+    Reference: `ReplaceTNNSiteTrace`, bmps_contractor.h:904."""
+    lx = top.shape[0]
+    nb = lx - 2
+    lefts = envs.lefts[:nb]
+    rights = envs.rights[3:]
+    t1 = jnp.einsum("xalc,xauA->xluAc", lefts, top[:nb])
+    t1 = jnp.einsum("xluAc,xkuldr->xkdArc", t1, cand1)
+    t1 = jnp.einsum("xkdArc,xcdC->xkArC", t1, bot[:nb])
+    # middle column transfer (site x+1 unchanged)
+    t1 = jnp.einsum("xkalc,xauA->xkluAc", t1, top[1:nb + 1])
+    t1 = jnp.einsum("xkluAc,xuldr->xkdArc", t1, mid)
+    t1 = jnp.einsum("xkdArc,xcdC->xkArC", t1, bot[1:nb + 1])
+    t2 = jnp.einsum("xArC,xauA->xurCa", rights, top[2:])
+    t2 = jnp.einsum("xurCa,xjuldr->xjdCla", t2, cand2)
+    t2 = jnp.einsum("xjdCla,xcdC->xjalc", t2, bot[2:])
+    return jnp.einsum("xkalc,xjalc->xkj", t1, t2)
+
+
 # ---------------------------------------------------------------------------
 # Variational compression (reference: MultiplyMPO VARIATION2Site/VARIATION1Site
 # schemes, bmps_impl.h:406-437 + variational env sweeps :560-660)

@@ -73,6 +73,15 @@ class SquareLatticeModel:
     h_d: np.ndarray | None = None
     h_ad: np.ndarray | None = None
     h_site: np.ndarray | None = None
+    # sqrt5-distance and third-NN couplings (reference:
+    # ReplaceSqrt5DistTwoSiteTrace / ReplaceTNNSiteTrace,
+    # bmps_contractor.h:904,923):
+    # h_s5a on ((y+1, x), (y, x+2));  h_s5b on ((y+2, x), (y, x+1));
+    # h_tnn_h on ((y, x), (y, x+2));  h_tnn_v on ((y, x), (y+2, x)).
+    h_s5a: np.ndarray | None = None
+    h_s5b: np.ndarray | None = None
+    h_tnn_h: np.ndarray | None = None
+    h_tnn_v: np.ndarray | None = None
     name: str = "model"
 
 
@@ -107,9 +116,23 @@ def triangle_heisenberg(j: float = 1.0) -> SquareLatticeModel:
 
 
 def triangle_j1j2_heisenberg(j1: float, j2: float) -> SquareLatticeModel:
-    """Triangle J1-J2 (reference: spin_onehalf_triangle_heisenbergJ1J2_sqrpeps.h):
-    J1 on NN + one diagonal, J2 on the other diagonal."""
+    """Triangle-lattice J1-J2 Heisenberg on square PEPS — the REFERENCE
+    model (spin_onehalf_triangle_heisenbergJ1J2_sqrpeps.h:247-439):
+    J1 on the triangular NN bonds = horizontal + vertical + ANTI-diagonal
+    ((y+1,x)-(y,x+1)); J2 on the triangular NNN bonds = main diagonal
+    ((y,x)-(y+1,x+1)) + both sqrt5 families ((y+1,x)-(y,x+2) and
+    (y+2,x)-(y,x+1))."""
+    h1 = heisenberg_bond(j1)
+    h2 = heisenberg_bond(j2)
+    return SquareLatticeModel(2, h1, h1, h_d=h2, h_ad=h1,
+                              h_s5a=h2, h_s5b=h2,
+                              name="triangle_j1j2")
+
+
+def triangle_j1j2_nnn(j1: float, j2: float) -> SquareLatticeModel:
+    """Simplified square-lattice NNN variant (J1 on NN + main diagonal, J2
+    on the anti-diagonal) — kept for the NNN cluster simple-update tests."""
     h1 = heisenberg_bond(j1)
     h2 = heisenberg_bond(j2)
     return SquareLatticeModel(2, h1, h1, h_d=h1, h_ad=h2,
-                              name="triangle_j1j2")
+                              name="triangle_j1j2_nnn")

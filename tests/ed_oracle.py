@@ -91,6 +91,34 @@ def build_hamiltonian(model: SquareLatticeModel, ly: int, lx: int,
             for x in (range(lx) if periodic else range(lx - 1)):
                 h = h + _embed_two_site(model.h_ad, _site_index((y + 1) % ly, x, lx),
                                         _site_index(y, (x + 1) % lx, lx), n, d).tocsr()
+    h_s5a = getattr(model, "h_s5a", None)
+    if h_s5a is not None:   # (y+1,x)-(y,x+2), OBC only
+        for y in range(ly - 1):
+            for x in range(lx - 2):
+                h = h + _embed_two_site(h_s5a, _site_index(y + 1, x, lx),
+                                        _site_index(y, x + 2, lx), n,
+                                        d).tocsr()
+    h_s5b = getattr(model, "h_s5b", None)
+    if h_s5b is not None:   # (y+2,x)-(y,x+1), OBC only
+        for y in range(ly - 2):
+            for x in range(lx - 1):
+                h = h + _embed_two_site(h_s5b, _site_index(y + 2, x, lx),
+                                        _site_index(y, x + 1, lx), n,
+                                        d).tocsr()
+    h_tnn_h = getattr(model, "h_tnn_h", None)
+    if h_tnn_h is not None:  # (y,x)-(y,x+2)
+        for y in range(ly):
+            for x in range(lx - 2):
+                h = h + _embed_two_site(h_tnn_h, _site_index(y, x, lx),
+                                        _site_index(y, x + 2, lx), n,
+                                        d).tocsr()
+    h_tnn_v = getattr(model, "h_tnn_v", None)
+    if h_tnn_v is not None:  # (y,x)-(y+2,x)
+        for y in range(ly - 2):
+            for x in range(lx):
+                h = h + _embed_two_site(h_tnn_v, _site_index(y, x, lx),
+                                        _site_index(y + 2, x, lx), n,
+                                        d).tocsr()
     if model.h_site is not None:
         for i in range(n):
             h = h + _embed_one_site(model.h_site, i, n, d).tocsr()

@@ -63,7 +63,7 @@ def test_triangle_j1j2_su_step_matches_exact_evolution():
     from tests.ed_oracle import build_hamiltonian, wavefunction_from_tps
 
     ly, lx, D = 2, 3, 8      # D=8: no truncation on 2x3
-    model = spin.triangle_j1j2_heisenberg(1.0, 0.5)
+    model = spin.triangle_j1j2_nnn(1.0, 0.5)
     h = build_hamiltonian(model, ly, lx).toarray()
     peps = product_peps(ly, lx, D, neel(ly, lx), 2, dtype=jnp.float64)
     psi0 = wavefunction_from_tps(np.asarray(to_tps(peps)))
