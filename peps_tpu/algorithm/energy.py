@@ -170,11 +170,15 @@ def _pair_pass(tps, tn, config, h_v, h_d, h_ad, stacks, h_s5=None):
         e = jnp.zeros((), rdt)
 
         if h_v is not None:
+            # contraction order matters: carrying BOTH candidate axes with
+            # chi^2 D^3 open legs materializes a multi-GB intermediate at
+            # production sizes; close (bot x rights) into the second
+            # candidate first so the largest tensor stays at chi^2 D^2 x d
             t = jnp.einsum("xamnc,xauA->xmncuA", lefts[:lx], top)
             t = jnp.einsum("xmncuA,xpumdr->xpncAdr", t, cands1)
-            t = jnp.einsum("xpncAdr,xqdnef->xpqcAref", t, cands2)
-            t = jnp.einsum("xpqcAref,xceC->xpqArfC", t, bot)
-            table = jnp.einsum("xpqArfC,xArfC->xpq", t, rights[1:])  # [Lx, d, d]
+            br = jnp.einsum("xceC,xArfC->xceArf", bot, rights[1:])
+            b4 = jnp.einsum("xceArf,xqdnef->xcArqdn", br, cands2)
+            table = jnp.einsum("xpncAdr,xcArqdn->xpq", t, b4)  # [Lx, d, d]
             psi_b = table[jnp.arange(lx), c1, c2]
             safe = jnp.where(psi_b == 0, 1.0, psi_b)
             e = e + jnp.sum(h_v[c1, c2] * table / safe[:, None, None])

@@ -34,14 +34,16 @@ class MCParams:
     num_warmup_sweeps: int = 100
     sweeps_between_samples: int = 1
     nchains: int = 64
+    eval_chunk: int | None = None   # chain batch for energy/holes (memory)
 
 
 @partial(jax.jit, static_argnames=("chi", "trunc", "rule",
                                    "n_samples", "sweeps_between", "with_sr",
-                                   "bc", "with_grad"))
+                                   "bc", "with_grad", "eval_chunk"))
 def _mc_collect(tps, configs, key, model: ModelTensors, chi, trunc, rule,
                 n_samples, sweeps_between, with_sr,
-                bc=BoundaryCondition.OPEN, with_grad=True):
+                bc=BoundaryCondition.OPEN, with_grad=True,
+                eval_chunk=None):
     """Scan the sample loop; returns e_locs [S, C], o sum / e*o sum (or full
     SR buffers), acceptance stats, final configs/key."""
     from peps_tpu.fermion.vmc import (GradedFermionModel,
@@ -78,8 +80,14 @@ def _mc_collect(tps, configs, key, model: ModelTensors, chi, trunc, rule,
             local = local_energy_and_holes_pbc
         else:
             local = local_energy_and_holes
-        return jax.vmap(lambda c: local(
-            tps, c, model, chi, trunc, with_holes=with_grad))(configs)
+        fn = lambda c: local(tps, c, model, chi, trunc,
+                             with_holes=with_grad)
+        if eval_chunk is None:
+            return jax.vmap(fn)(configs)
+        # memory-bounded evaluation: the holes/pair-table intermediates of a
+        # full chain-batched vmap can exceed HBM at production sizes (8x8,
+        # D=8, chi=32); lax.map with a batch keeps peak memory flat
+        return jax.lax.map(fn, configs, batch_size=eval_chunk)
 
     def step(carry, _):
         configs, key, acc, tri = carry
@@ -132,7 +140,7 @@ def mc_energy_grad(tps, configs, key, model: ModelTensors, chi: int,
     configs, key, acc, tri, outs = _mc_collect(
         tps, configs, key, model, chi, trunc, rule,
         params.num_samples, params.sweeps_between_samples, with_sr_buffers,
-        bc)
+        bc, eval_chunk=params.eval_chunk)
     e_locs, o_full, o_sum, eo_sum, log_psi = outs
 
     s, c = e_locs.shape

@@ -39,6 +39,7 @@ class ObservableMeta:
     description: str
     shape: tuple
     index_labels: tuple = ()
+    coords: object = None      # [K, ncoord] int array or None
 
 
 class MeasureResult(NamedTuple):
@@ -122,6 +123,7 @@ class MeasurementParams:
     sweeps_between_samples: int = 1
     nchains: int = 64
     measure_offdiag_corr: bool = True
+    measure_pair_corr: bool = False   # t-J <Delta^dag Delta> walker scans
     chunk_size: int = 0      # >0: collect in chunks, allowing graceful stop
     handle_signals: bool = False  # SIGINT/SIGTERM -> stop + dump partial
 
@@ -138,56 +140,66 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
     from peps_tpu.models.fermion import FermionModel
     from peps_tpu.montecarlo.sweep_pbc import mc_sweep_pbc
 
+    from peps_tpu.fermion.vmc import (GradedFermionModel,
+                                      local_energy_and_holes_graded,
+                                      mc_sweep_fermion)
+
     ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
     periodic = bc == BoundaryCondition.PERIODIC
-    if isinstance(model, (ModelTensors, FermionTensors)):
+    if isinstance(model, (ModelTensors, FermionTensors,
+                          GradedFermionModel)):
         mt = model
     elif isinstance(model, FermionModel):
         mt = FermionTensors.from_model(model, tps.dtype)
     else:
         mt = ModelTensors.from_model(model, tps.dtype)
-    if isinstance(mt, FermionTensors):
+    graded = isinstance(mt, GradedFermionModel)
+    if graded:
+        local_fn = local_energy_and_holes_graded
+    elif isinstance(mt, FermionTensors):
         local_fn = local_energy_and_holes_fermion
     elif periodic:
         local_fn = local_energy_and_holes_pbc
     else:
         local_fn = local_energy_and_holes
-    # spin observable set only for BOSONIC d=2 models: for fermionic d=2
-    # (spinless fermions) the off-diagonal s+s- walker correlators would be
-    # missing the Jordan-Wigner string and come out sign-wrong; fermionic
-    # observables go through measure_fermion instead.
-    obs = (standard_spin_observables(d)
-           if d == 2 and not isinstance(mt, FermionTensors) else None)
+    # per-model observable REGISTRY (reference: ModelMeasurementSolver
+    # registry, model_measurement_solver.h:28-51; models declare observables
+    # as data — see peps_tpu/algorithm/registry.py)
+    from peps_tpu.algorithm.registry import (MeasureContext,
+                                             fermion_registry, spin_registry)
+    if graded:
+        registry = fermion_registry(mt.ft, params)
+    elif isinstance(mt, FermionTensors):
+        registry = fermion_registry(mt, params)
+    elif d == 2:
+        registry = spin_registry(params)
+    else:
+        registry = []
+    if periodic or graded:
+        # walker scans assume OBC bosonic environments (the graded state's
+        # pair correlators need graded walkers — future work)
+        registry = [ob for ob in registry if not ob.needs_envs]
     nc = configs.shape[0]
     tps_t = transpose_tps(tps)
 
     def per_sample(cfg):
         res = local_fn(tps, cfg, mt, chi, trunc,
                        with_holes=False)
+        ctx = MeasureContext(tps, tps_t, cfg, jnp.real(res.e_loc), chi,
+                             trunc)
         out = {"energy": jnp.real(res.e_loc)}
-        if obs is not None:
-            sv = jnp.asarray(obs["sz_values"], res.log_abs_psi.dtype)
-            szmap = _one_point_diag(cfg, sv)
-            out["sz"] = szmap
-            flat = szmap.reshape(-1)
-            out["szsz"] = jnp.outer(flat, flat)
-        if obs is not None and params.measure_offdiag_corr and not periodic:
-            tn = project(tps, cfg)
-            stacks = bmps.all_env_stacks(tn, chi, trunc)
-            op_a = jnp.asarray(obs["op_a"], tps.dtype)
-            op_b = jnp.asarray(obs["op_b"], tps.dtype)
-            out["spsm_row"] = jnp.real(_row_offdiag_corr(
-                tps, tn, cfg, op_a, op_b, chi, trunc, stacks))
-            tn_t = project(tps_t, cfg.T)
-            stacks_t = bmps.all_env_stacks(tn_t, chi, trunc)
-            out["spsm_col"] = jnp.real(_row_offdiag_corr(
-                tps_t, tn_t, cfg.T, op_a, op_b, chi, trunc, stacks_t))
+        for ob in registry:
+            out[ob.key] = ob.compute(ctx)
         out["log_abs_psi"] = res.log_abs_psi
         return out
 
     def sweep_all(cfgs, k):
         ks = jax.random.split(k, nc + 1)
-        if periodic:
+        if graded:
+            new, _, stats = jax.vmap(
+                mc_sweep_fermion, in_axes=(None, None, 0, 0, None, None))(
+                tps, mt.space, cfgs, ks[1:], chi, trunc)
+        elif periodic:
             new, _, stats = jax.vmap(
                 mc_sweep_pbc, in_axes=(None, 0, 0, None, None, None))(
                 tps, cfgs, ks[1:], chi, trunc, rule)
@@ -262,7 +274,12 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
         shape = a.shape[2:] if a.ndim > 2 else ()
         stats[k_name] = (means.reshape(shape) if shape else means[0],
                          errs.reshape(shape) if shape else errs[0])
-        metas[k_name] = ObservableMeta(k_name, k_name, shape)
+        ob = next((o for o in registry if o.key == k_name), None)
+        coords = (ob.coords(ly, lx) if ob is not None
+                  and ob.coords is not None else None)
+        metas[k_name] = ObservableMeta(
+            k_name, ob.description if ob is not None else k_name, shape,
+            ob.index_labels if ob is not None else (), coords)
 
     e_samples = np.asarray(outs["energy"])
     tau = integrated_autocorrelation_time(e_samples.reshape(e_samples.shape[0], -1))
@@ -286,6 +303,14 @@ def dump_stats(result: MeasureResult, dump_dir: str) -> None:
             f.write("index,mean,stderr\n")
             for i, (mi, ei) in enumerate(zip(m, e)):
                 f.write(f"{i},{mi!r},{ei!r}\n")
+    # coordinate map files (reference: <key>_coords.txt dumps,
+    # monte_carlo_peps_measurer.h:268-341)
+    for key, meta in result.metas.items():
+        if getattr(meta, "coords", None) is not None:
+            np.savetxt(os.path.join(dump_dir, "stats",
+                                    f"{key}_coords.txt"),
+                       np.asarray(meta.coords), fmt="%d",
+                       header=",".join(meta.index_labels))
     os.makedirs(os.path.join(dump_dir, "samples"), exist_ok=True)
     np.savetxt(os.path.join(dump_dir, "samples", "log_abs_psi.csv"),
                result.psi_samples.reshape(result.psi_samples.shape[0], -1),

@@ -314,8 +314,12 @@ def punch_holes_row(envs: RowEnvs, top: jnp.ndarray, bot: jnp.ndarray):
     lx = top.shape[0]
     lefts = envs.lefts[:lx]      # L[x]
     rights = envs.rights[1:]     # R[x+1]
-    holes = jnp.einsum("xalc,xauA,xcdC,xArC->xuldr", lefts, top, bot, rights)
-    return holes
+    # explicit pairwise grouping: XLA's free-order choice for the 4-operand
+    # einsum can materialize a chi^2 D^3 intermediate per (row, chain) and
+    # OOM at batch scale; (L.T)(B.R) keeps intermediates at chi^2 D^2
+    lt = jnp.einsum("xalc,xauA->xlcuA", lefts, top)
+    br = jnp.einsum("xcdC,xArC->xcdAr", bot, rights)
+    return jnp.einsum("xlcuA,xcdAr->xuldr", lt, br)
 
 
 def replace_one_site_traces(envs: RowEnvs, top: jnp.ndarray, bot: jnp.ndarray,
@@ -518,9 +522,14 @@ def compress_variational(mps: jnp.ndarray, chi: int, trunc: TruncParams,
 def _chol_lq(mat, eps_rel):
     """mat = L @ Q with Q eps-approximately row-orthonormal; exact product.
     The Gram matrix is trace-normalized before the Cholesky so the
-    factorization is scale-invariant (f32 under/overflow safety)."""
+    factorization is scale-invariant (f32 under/overflow safety).
+
+    Gram + solve run at HIGHEST matmul precision: the TPU default (bf16
+    passes) makes the Gram indefinite beyond the eps jitter and the
+    Cholesky returns NaN."""
     m = mat.shape[0]
-    g = mat @ jnp.conj(mat.T)
+    g = jnp.matmul(mat, jnp.conj(mat.T),
+                   precision=jax.lax.Precision.HIGHEST)
     # floor AFTER the division: tiny/m is denormal and XLA:CPU flushes
     # denormals to zero, turning a zero input into 0/0 = NaN
     tr = jnp.real(jnp.trace(g))
@@ -538,7 +547,8 @@ def _subspace_project(mat, chi, key, eps_rel, power_iters=0):
     rows, cols = mat.shape
 
     def orthonormalize(y):
-        g = jnp.conj(y.T) @ y
+        g = jnp.matmul(jnp.conj(y.T), y,
+                       precision=jax.lax.Precision.HIGHEST)
         tr = jnp.real(jnp.trace(g))
         # floor AFTER dividing (denormal flush-to-zero safety, see _chol_lq)
         scale = jnp.maximum(tr / chi, jnp.finfo(mat.real.dtype).tiny)

@@ -165,8 +165,61 @@ def _weighted_bond_projectors(env, m: int, D: int, inv_eps: float,
     return jax.vmap(one)(env)
 
 
+def _fet_refine(env4, p_up, p_dn, D: int, cg_iters: int, cg_tol: float,
+                alternations: int):
+    """Full-environment truncation by alternating CG solves (reference:
+    CG-based FET, square_lattice_peps_projection4_impl.h:384,1027-1069).
+
+    env4 [i, I, o, O]: the double-layer ring environment with the bond open
+    (i/o ket legs, I/O bra legs). The rank-D bond insertion X = U V
+    maximizes the fidelity
+
+        F(X) = |<psi_I|psi_X>|^2 / (<psi_X|psi_X> <psi_I|psi_I>),
+
+    whose stationary condition for each factor is a LINEAR system
+    A z = b with A the (PSD) environment metric — solved matrix-free by CG,
+    warm-started from the one-shot weighted-trace projectors.
+    Returns (p_up', p_dn', lam')."""
+    from peps_tpu.optimizer.cg import CGParams, cg_solve
+
+    m = env4.shape[0]
+    t_lin = jnp.einsum("iIoI->oi", env4)
+
+    def mop(x):
+        """Symmetrized environment metric applied to a bond matrix [o, i]."""
+        a = jnp.einsum("iIoO,oi->OI", env4, x)
+        b = jnp.einsum("iIoO,OI->oi", env4, jnp.conj(x))
+        return 0.5 * (a + jnp.conj(b))
+
+    u_f = p_up                      # [m, D]
+    v_f = p_dn                      # [D, m]
+    prm = CGParams(max_iter=cg_iters, tol=cg_tol)
+    for _ in range(alternations):
+        def mv_v(vflat, u_f=u_f):
+            mx = mop(u_f @ vflat.reshape(D, m))
+            return (jnp.conj(u_f.T) @ mx).reshape(-1)
+        b_v = (jnp.conj(u_f.T) @ t_lin).reshape(-1)
+        v_f = cg_solve(mv_v, b_v, v_f.reshape(-1), prm).x.reshape(D, m)
+
+        def mv_u(uflat, v_f=v_f):
+            mx = mop(uflat.reshape(m, D) @ v_f)
+            return (mx @ jnp.conj(v_f.T)).reshape(-1)
+        b_u = (t_lin @ jnp.conj(v_f.T)).reshape(-1)
+        u_f = cg_solve(mv_u, b_u, u_f.reshape(-1), prm).x.reshape(m, D)
+
+    x_opt = u_f @ v_f
+    uu, ss, vvh = jnp.linalg.svd(x_opt, full_matrices=False)
+    sq = jnp.sqrt(jnp.clip(ss[:D], 0.0, None))
+    p_up_n = uu[:, :D] * sq[None, :]
+    p_dn_n = sq[:, None] * vvh[:D]
+    lam = ss[:D] / jnp.maximum(jnp.linalg.norm(ss[:D]),
+                               jnp.finfo(ss.dtype).tiny)
+    return p_up_n, p_dn_n, lam
+
+
 def _truncate_bond(sites, bond: int, D: int, inv_eps: float,
-                   power_iters: int):
+                   power_iters: int, fet_cg_iters: int = 0,
+                   fet_cg_tol: float = 1e-10, fet_alternations: int = 2):
     """Truncate loop bond `bond` (1->12, 2->23, 3->34, 4->41) of the 4 grown
     ring site tensors back to D. Returns (sites', lam)."""
     s1, s2, s3, s4 = sites
@@ -186,6 +239,12 @@ def _truncate_bond(sites, bond: int, D: int, inv_eps: float,
     m = up_site.shape[1 + out_axis]
     p_up, p_dn, lam = _weighted_bond_projectors(env, m, D, inv_eps,
                                                 power_iters)
+    if fet_cg_iters > 0:
+        env4 = env.reshape(env.shape[0], m, m, m, m)
+        p_up, p_dn, lam = jax.vmap(
+            lambda e, pu, pd: _fet_refine(e, pu, pd, D, fet_cg_iters,
+                                          fet_cg_tol, fet_alternations))(
+            env4, p_up, p_dn)
 
     def apply_out(site, p):
         # contract p [N, m, D] into axis (1 + out_axis)
@@ -230,13 +289,21 @@ def _divide_bond_sqrt(sites, bond: int, lam):
 
 @dataclasses.dataclass(frozen=True)
 class LoopUpdateParams:
-    """Reference: LoopUpdatePara (loop_update.h:57)."""
+    """Reference: LoopUpdatePara (loop_update.h:57) + FETParams.
+
+    fet_cg_iters > 0 enables the CG-based full-environment truncation
+    refinement of every loop bond (reference
+    square_lattice_peps_projection4_impl.h:384), warm-started from the
+    one-shot weighted-trace projectors."""
     steps: int
     tau: float
     bond_dim: int
     fet_sweeps: int = 2
     power_iters: int = 0   # 0 = exact weighted-trace closure
     inv_relative_eps: float = 1e-10
+    fet_cg_iters: int = 20
+    fet_cg_tol: float = 1e-10
+    fet_alternations: int = 2
 
 
 def _apply_plaquette_batch(sites, lambdas, gates: tuple, params):
@@ -274,7 +341,10 @@ def _apply_plaquette_batch(sites, lambdas, gates: tuple, params):
                 sites = _divide_bond_sqrt(sites, b, lams[b - 1])
             sites, lam = _truncate_bond(sites, b, D,
                                         params.inv_relative_eps,
-                                        params.power_iters)
+                                        params.power_iters,
+                                        params.fet_cg_iters,
+                                        params.fet_cg_tol,
+                                        params.fet_alternations)
             lams[b - 1] = lam
 
     # divide the final sqrt(lam) factors back out of both sides of each bond

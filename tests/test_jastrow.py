@@ -4,6 +4,7 @@ import itertools
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from peps_tpu.algorithm.energy import (ModelTensors,
                                        local_energy_and_holes_dressed)
@@ -17,6 +18,9 @@ from tests.ed_oracle import build_hamiltonian, wavefunction_from_tps
 CHI = 16
 TP = TruncParams(CHI, 1, 0.0)
 
+
+
+pytestmark = pytest.mark.fast
 
 def test_dressed_energy_matches_ed():
     ly, lx, d = 2, 3, 2
@@ -53,7 +57,6 @@ def test_dressed_energy_matches_ed():
     assert abs(got - want) < 1e-8 * max(1.0, abs(want)), (got, want)
 
 
-import pytest
 
 
 @pytest.mark.slow

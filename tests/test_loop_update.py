@@ -49,3 +49,37 @@ def test_loop_update_single_step_improves():
                                        fet_sweeps=1))
     e1 = energy_of_tps(np.asarray(to_tps(out.peps)), model)
     assert e1 < e0, (e0, e1)
+
+
+@pytest.mark.xfail(reason="loop-update per-step fidelity at D=4/4x4 not yet "
+                   "at SU quality; CG-FET refinement under investigation",
+                   strict=False)
+def test_loop_update_long_evolution_reaches_su_quality():
+    """Target criterion: a 4x4 Heisenberg loop update over >= 100
+    steps (CG-FET truncation) reaches an energy at or below the
+    simple-update energy at the same D, with stable truncation behaviour
+    (no blow-up: energy stays finite and monotone-ish)."""
+    model = spin.heisenberg(1.0)
+    ly = lx = 4
+    D = 4
+    occ = np.fromfunction(lambda y, x: (y + x) % 2, (ly, lx), dtype=int)
+    peps0 = product_peps(ly, lx, D, occ, 2, dtype=jnp.float64)
+    su = simple_update(peps0, model.h_h, model.h_v,
+                       SimpleUpdateParams(steps=400, tau=0.05,
+                                          trunc=TruncParams(D, 1, 1e-12),
+                                          energy_abs_tol=1e-9, min_steps=50))
+    e_su = energy_of_tps(np.asarray(to_tps(su.peps)), model)
+
+    # loop update from a SHORT simple-update warm start (same protocol as
+    # the reference executor: SU init, then loop refinement)
+    warm = simple_update(peps0, model.h_h, model.h_v,
+                         SimpleUpdateParams(steps=60, tau=0.2,
+                                            trunc=TruncParams(D, 1, 1e-12)))
+    out = loop_update(warm.peps, model.h_h, model.h_v,
+                      LoopUpdateParams(steps=120, tau=0.05, bond_dim=D,
+                                       fet_sweeps=2, fet_cg_iters=25,
+                                       fet_alternations=2))
+    e_loop = energy_of_tps(np.asarray(to_tps(out.peps)), model)
+    e_ed = ground_energy(model, ly, lx)
+    assert np.isfinite(e_loop)
+    assert e_loop < e_su + 1e-6, (e_loop, e_su, e_ed)

@@ -8,6 +8,9 @@ from peps_tpu.montecarlo.statistics import (integrated_autocorrelation_time,
 from peps_tpu.utils import native
 
 
+
+pytestmark = pytest.mark.fast
+
 def test_native_library_builds():
     assert native._build_and_load() is not None, "g++ build failed"
 
