@@ -3,7 +3,7 @@ truncation (the PBC counterpart of the BMPS contractor).
 
 Capability parity with the reference's finite-size Navy-Levin TRG
 (`include/qlpeps/two_dim_tn/tensor_network_2d/trg/trg_contractor.h:196`,
-L = 2^k square tori, bosonic). DELIBERATE ALGORITHM SUBSTITUTION: instead of
+L in {2^k, 3*2^k} tori, bosonic). DELIBERATE ALGORITHM SUBSTITUTION: instead of
 the reference's 45-degree-rotated checkerboard RG (which needs per-node graph
 bookkeeping, `trg_contractor_impl.h:214-292`), we coarse-grain axis-aligned:
 pair columns, truncate the doubled vertical bonds with per-bond projector
@@ -63,6 +63,22 @@ def _bond_projectors(top_mat, bot_mat, chi: int, trunc: TruncParams,
     return p_top, p_bot
 
 
+def _triple_columns(tn: jnp.ndarray) -> jnp.ndarray:
+    """Contract column TRIPLES (used when nx is 3 * 2^k and has been paired
+    down to an odd multiple of 3; reference TRG also supports L = 3*2^k,
+    trg_contractor_impl.h:154). [n, nx] -> [n, nx/3] with tripled u/d legs."""
+    ny, nx = tn.shape[0], tn.shape[1]
+    a = tn[:, 0::3]
+    b = tn[:, 1::3]
+    c = tn[:, 2::3]
+    m = jnp.einsum("yxulda,yxUaDb,yxVbEr->yxuUVldDEr", a, b, c)
+    du, dU, dV = a.shape[2], b.shape[2], c.shape[2]
+    dl = a.shape[3]
+    dd, dD, dE = a.shape[4], b.shape[4], c.shape[4]
+    dr = c.shape[5]
+    return m.reshape(ny, nx // 3, du * dU * dV, dl, dd * dD * dE, dr)
+
+
 def _pair_columns(tn: jnp.ndarray) -> jnp.ndarray:
     """Contract column pairs: [n, n, u, l, d, r] (D) -> [n, n/2] with doubled
     u/d legs: axes (u1, u2), l, (d1, d2), r -> grouped [n, n/2, D^2, D, D^2, D]."""
@@ -112,12 +128,18 @@ class PBCResult(NamedTuple):
 @partial(jax.jit, static_argnames=("chi", "trunc", "inv_relative_eps"))
 def contract_pbc(tn: jnp.ndarray, chi: int, trunc: TruncParams,
                  inv_relative_eps: float = 1e-12):
-    """Contract an n x n PBC single-layer network (n = 2^k) to a scalar.
+    """Contract an n x n PBC single-layer network (n = 2^k or 3*2^k) to a
+    scalar.
 
     Returns (mantissa, log_weight): psi = mantissa * exp(log_weight).
     """
-    n = tn.shape[0]
-    assert n >= 1 and (n & (n - 1)) == 0, "PBC contractor requires n = 2^k"
+    def ok(n):
+        while n % 2 == 0:
+            n //= 2
+        return n in (1, 3)
+
+    assert ok(tn.shape[0]) and ok(tn.shape[1]), \
+        "PBC contractor requires dims of the form 2^k or 3*2^k"
     rdt = tn.real.dtype if jnp.iscomplexobj(tn) else tn.dtype
     logw = jnp.zeros((), rdt)
 
@@ -134,7 +156,8 @@ def contract_pbc(tn: jnp.ndarray, chi: int, trunc: TruncParams,
     logw = logw + lw
     while tn.shape[0] > 1 or tn.shape[1] > 1:
         if tn.shape[1] > 1:
-            m = _pair_columns(tn)
+            m = (_triple_columns(tn) if tn.shape[1] % 3 == 0
+                 and tn.shape[1] % 2 != 0 else _pair_columns(tn))
             # vertical bonds double; insert projector pairs (for a single
             # remaining row these are self-loop bonds — same construction).
             tn = _truncate_vertical(m, min(chi, m.shape[2]), trunc,

@@ -51,6 +51,41 @@ def mc_sweep_pbc(tps, config, key, chi: int, trunc: TruncParams,
         lmax = jnp.max(logws)
         return (mants * jnp.exp(logws - lmax)).reshape(d, d)
 
+    rdt = tps.real.dtype if jnp.iscomplexobj(tps) else tps.dtype
+
+    def log_abs(config):
+        mant, logw = contract_pbc(project(tps, config), chi, trunc)
+        return jnp.log(jnp.maximum(jnp.abs(mant),
+                                   jnp.finfo(rdt).tiny)) + logw
+
+    if rule.mode == "exchange":
+        # fast path: carry log|psi| of the CURRENT config; each exchange
+        # proposal needs ONE contraction (the swapped config), not a d x d
+        # table — a d^2-fold cut of the O(2N d^2) per-sweep recompute cost
+        # flagged by the reference trial/commit comparison
+        def bond_step(carry, bond):
+            config, la0, key, acc, tri = carry
+            key, k_pick = jax.random.split(key)
+            c1 = config[bond[0], bond[1]]
+            c2 = config[bond[2], bond[3]]
+            cand = config.at[bond[0], bond[1]].set(c2) \
+                         .at[bond[2], bond[3]].set(c1)
+            la1 = log_abs(cand)
+            ratio2 = jnp.exp(2.0 * (la1 - la0))
+            u = jax.random.uniform(k_pick, (), rdt)
+            differ = c1 != c2
+            accept = differ & (u < ratio2)
+            config = jnp.where(accept, cand, config)
+            la0 = jnp.where(accept, la1, la0)
+            acc = acc + accept.astype(jnp.int32)
+            tri = tri + differ.astype(jnp.int32)
+            return (config, la0, key, acc, tri), None
+
+        init = (config, log_abs(config), key,
+                jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+        (config, _, key, acc, tri), _ = jax.lax.scan(bond_step, init, bonds)
+        return config, key, SweepStats(acc, tri)
+
     def bond_step(carry, bond):
         config, key, acc, tri = carry
         key, k_pick = jax.random.split(key)
@@ -58,27 +93,14 @@ def mc_sweep_pbc(tps, config, key, chi: int, trunc: TruncParams,
         c1 = config[bond[0], bond[1]]
         c2 = config[bond[2], bond[3]]
         cur_idx = (c1 * d + c2).astype(jnp.int32)
-        if rule.mode == "exchange":
-            psi_cur = table[c1, c2]
-            psi_new = table[c2, c1]
-            ratio2 = jnp.abs(psi_new) ** 2 / jnp.maximum(
-                jnp.abs(psi_cur) ** 2, jnp.finfo(table.real.dtype).tiny)
-            u = jax.random.uniform(k_pick, (), table.real.dtype)
-            differ = c1 != c2
-            accept = differ & (u < ratio2)
-            new1 = jnp.where(accept, c2, c1)
-            new2 = jnp.where(accept, c1, c2)
-            acc = acc + accept.astype(jnp.int32)
-            tri = tri + differ.astype(jnp.int32)
-        else:
-            w = jnp.abs(table.reshape(-1)) ** 2
-            if cmask is not None:
-                w = w * cmask[cur_idx].astype(w.dtype)
-            new_idx = suwa_todo_pick(w, cur_idx, k_pick)
-            new1 = (new_idx // d).astype(config.dtype)
-            new2 = (new_idx % d).astype(config.dtype)
-            acc = acc + (new_idx != cur_idx).astype(jnp.int32)
-            tri = tri + 1
+        w = jnp.abs(table.reshape(-1)) ** 2
+        if cmask is not None:
+            w = w * cmask[cur_idx].astype(w.dtype)
+        new_idx = suwa_todo_pick(w, cur_idx, k_pick)
+        new1 = (new_idx // d).astype(config.dtype)
+        new2 = (new_idx % d).astype(config.dtype)
+        acc = acc + (new_idx != cur_idx).astype(jnp.int32)
+        tri = tri + 1
         config = config.at[bond[0], bond[1]].set(new1)
         config = config.at[bond[2], bond[3]].set(new2)
         return (config, key, acc, tri), None
