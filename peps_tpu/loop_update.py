@@ -191,6 +191,9 @@ def _fet_refine(env4, p_up, p_dn, D: int, cg_iters: int, cg_tol: float,
         b = jnp.einsum("iIoO,OI->oi", env4, jnp.conj(x))
         return 0.5 * (a + jnp.conj(b))
 
+    # init from the one-shot weighted-trace projectors (empirically better
+    # than a pseudo-inverse full-solve init, whose null-space components of
+    # the very rank-deficient ring metric mislead the alternating solver)
     u_f = p_up                      # [m, D]
     v_f = p_dn                      # [D, m]
     prm = CGParams(max_iter=cg_iters, tol=cg_tol)
