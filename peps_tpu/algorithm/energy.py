@@ -117,40 +117,49 @@ def _row_pass(tps, tn, config, h_bond, with_holes: bool, stacks):
     return bond_e, ratio1, o_tensor, psi_loc
 
 
-def _pair_row_envs(top, bot, row1, row2, dtype):
+def _pair_row_envs(top, bot, row1, row2, dtype, with_logs: bool = False):
     """Left/right two-row environments (BTen2). Axes of an env: (a=top bond,
     m1=row1 l-leg, m2=row2 l-leg, c=bot bond). Returns (lefts [Lx+1, ...],
-    rights [Lx+1, ...])."""
+    rights [Lx+1, ...]); with_logs=True appends the cumulative log of the
+    per-step normalizations (log_lefts [Lx+1], log_rights [Lx+1]) so traces
+    built from DIFFERENT env stacks can be rescaled consistently."""
     chi = top.shape[1]
     dv = row1.shape[1]
     rdt = row1.real.dtype if jnp.iscomplexobj(row1) else row1.dtype
     init = jnp.zeros((chi, dv, dv, chi), dtype).at[0, 0, 0, 0].set(1.0)
 
-    def transfer_l(env, xs):
+    def transfer_l(carry, xs):
+        env, lw = carry
         t_x, s1, s2, b_x = xs
         t = jnp.einsum("amnc,auA->mncuA", env, t_x)
         t = jnp.einsum("mncuA,umdr->ncAdr", t, s1)
         t = jnp.einsum("ncAdr,dnef->cAref", t, s2)
         t = jnp.einsum("cAref,ceC->ArfC", t, b_x)
         n = jnp.maximum(jnp.linalg.norm(t), jnp.finfo(rdt).tiny)
-        t = t / n
-        return t, t
+        out = (t / n, lw + jnp.log(n))
+        return out, out
 
-    def transfer_r(env, xs):
+    def transfer_r(carry, xs):
+        env, lw = carry
         t_x, s1, s2, b_x = xs
         t = jnp.einsum("auA,ArfC->aurfC", t_x, env)
         t = jnp.einsum("aurfC,umdr->amdfC", t, s1)
         t = jnp.einsum("amdfC,dnef->amneC", t, s2)
         t = jnp.einsum("amneC,ceC->amnc", t, b_x)
         n = jnp.maximum(jnp.linalg.norm(t), jnp.finfo(rdt).tiny)
-        t = t / n
-        return t, t
+        out = (t / n, lw + jnp.log(n))
+        return out, out
 
     xs = (top, row1, row2, bot)
-    _, ls = jax.lax.scan(transfer_l, init, xs)
-    _, rs = jax.lax.scan(transfer_r, init, xs, reverse=True)
+    zero = jnp.zeros((), rdt)
+    _, (ls, lw_l) = jax.lax.scan(transfer_l, (init, zero), xs)
+    _, (rs, lw_r) = jax.lax.scan(transfer_r, (init, zero), xs, reverse=True)
     lefts = jnp.concatenate([init[None], ls], axis=0)
     rights = jnp.concatenate([rs, init[None]], axis=0)
+    if with_logs:
+        log_lefts = jnp.concatenate([zero[None], lw_l])
+        log_rights = jnp.concatenate([lw_r, zero[None]])
+        return lefts, rights, log_lefts, log_rights
     return lefts, rights
 
 

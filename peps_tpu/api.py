@@ -33,7 +33,12 @@ from peps_tpu.contraction.pbc import (amplitude_pbc, contract_pbc,
                                       punch_all_holes_pbc)
 from peps_tpu.montecarlo.jastrow import JastrowDress
 from peps_tpu.montecarlo.engine import load_configs, save_configs
-from peps_tpu.tps import load_tps, project, random_tps, save_tps
+from peps_tpu.tps import (load_tps, project, random_tps, save_tps,
+                          wavefunction_sum)
+from peps_tpu.contraction.bmps import entanglement_entropy
+from peps_tpu.algorithm.registry import (Observable,
+                                         structure_factor_spsm_row)
+from peps_tpu.fermion.tables import fermion_ratio_tables
 # Z2-graded fermionic backend (graded tensors, fermionic simple update,
 # dressed projection, graded VMC)
 from peps_tpu.fermion.peps import (FermionSpace, fermion_simple_update,
@@ -66,4 +71,6 @@ __all__ = [
     "fermion_simple_update", "to_tps_fermion", "fermion_project",
     "GradedFermionModel", "amplitude_fermion",
     "local_energy_and_holes_graded", "mc_sweep_fermion",
+    "wavefunction_sum", "entanglement_entropy", "Observable",
+    "structure_factor_spsm_row", "fermion_ratio_tables",
 ]

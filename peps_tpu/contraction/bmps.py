@@ -630,3 +630,35 @@ def compress_fast(mps: jnp.ndarray, chi: int, trunc: TruncParams,
     out = out / norms[:, None, None, None]
     return CompressResult(out, jnp.sum(jnp.log(norms)),
                           jnp.zeros((), out.real.dtype))
+
+
+def entanglement_entropy(mps: jnp.ndarray, x: int) -> jnp.ndarray:
+    """Von Neumann entanglement entropy of a boundary MPS across bond x
+    (between sites x-1 and x), 1 <= x <= Lx-1. (Reference: BMPS
+    entanglement entropy, one_dim_tn/boundary_mps/bmps_impl.h:266.)
+
+    mps: [Lx, chi, D, chi] with edge content at index 0. The entanglement
+    spectrum is the eigenvalue set of G_L G_R (left/right Gram matrices of
+    the cut), i.e. the squared Schmidt values."""
+    lx, chi = mps.shape[0], mps.shape[1]
+    rdt = mps.real.dtype if jnp.iscomplexobj(mps) else mps.dtype
+
+    def gl_step(g, t):
+        g2 = jnp.einsum("aA,avb,AvB->bB", g, t, jnp.conj(t))
+        n = jnp.maximum(jnp.real(jnp.trace(g2)), jnp.finfo(rdt).tiny)
+        return g2 / n, None
+
+    def gr_step(g, t):
+        g2 = jnp.einsum("avb,AvB,bB->aA", t, jnp.conj(t), g)
+        n = jnp.maximum(jnp.real(jnp.trace(g2)), jnp.finfo(rdt).tiny)
+        return g2 / n, None
+
+    g0 = jnp.zeros((chi, chi), mps.dtype).at[0, 0].set(1.0)
+    gl, _ = jax.lax.scan(gl_step, g0, mps[:x])
+    gr, _ = jax.lax.scan(gr_step, g0, mps[x:], reverse=True)
+    lam = jnp.linalg.eigvals(gl @ gr) if jnp.iscomplexobj(mps) else \
+        jnp.linalg.eigvals((gl @ gr).astype(jnp.complex128))
+    p = jnp.clip(jnp.real(lam), 0.0, None)
+    p = p / jnp.maximum(jnp.sum(p), jnp.finfo(rdt).tiny)
+    return -jnp.sum(jnp.where(p > 0, p * jnp.log(jnp.maximum(p, 1e-300)),
+                              0.0))

@@ -7,11 +7,11 @@ amplitude is the plain bosonic BMPS contraction of the DRESSED projection
 * String signs of the NN channels are SNAKE strings: horizontal bonds are
   JW-adjacent (no string); vertical bonds carry the product of local Z's
   over the row-suffix (even rows) / row-prefix (odd rows) of BOTH rows.
-* Replaced-config amplitudes are full recomputes, batched with vmap — each
-  candidate is an independent BMPS contraction, which maps onto big batched
-  MXU matmuls (the TPU answer to the reference's per-bond environment-reuse
-  scheme, bmps_contractor.h Replace*Trace; an env-sharing fast path can be
-  added on top without changing this interface).
+* NN ratio tables come from SHARED boundary environments by default
+  (peps_tpu/fermion/tables.py — the graded Replace*Trace analogue,
+  exploiting that snake prefix-parity flips stay inside the bond's own
+  row pair); a batched full-recompute path remains as the validation
+  oracle (env_sharing=False).
 * Gradient holes come from jax.grad of log psi — the contraction is
   multilinear in the dense tensor entries with constant sign masks, so raw
   autodiff IS the reference's PunchHole + CalGTenForFermionicTensors +
@@ -160,16 +160,28 @@ def _replaced_ratio_tables(tps, config, space, chi, trunc, log0, mant0):
 
 def local_energy_and_holes_graded(tps, config, model: GradedFermionModel,
                                   chi: int, trunc: TruncParams,
-                                  with_holes: bool = True) -> EnergyHoles:
+                                  with_holes: bool = True,
+                                  env_sharing: bool = True) -> EnergyHoles:
     """E_loc(S) + O tensor for a graded fermionic TPS. Same interface as
     the bosonic/JW local evaluators, so every evaluator/executor upstream
-    works unchanged."""
+    works unchanged.
+
+    env_sharing=True (default) builds the NN ratio tables from shared
+    boundary environments (peps_tpu/fermion/tables.py) — same O(N) cost
+    structure as the bosonic evaluator; False falls back to batched full
+    recomputes (the original validation path)."""
     ft, space = model.ft, model.space
     ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
     rdt = rdtype(tps)
-    log0, mant0 = log_abs_psi_fermion(tps, config, space, chi, trunc)
-    ratio_h, ratio_v = _replaced_ratio_tables(tps, config, space, chi,
-                                              trunc, log0, mant0)
+    if env_sharing:
+        from peps_tpu.fermion.tables import fermion_ratio_tables
+        tabs = fermion_ratio_tables(tps, config, space, chi, trunc)
+        ratio_h, ratio_v = tabs.ratio_h, tabs.ratio_v
+        log0, mant0 = tabs.log_abs_psi, tabs.psi_mant
+    else:
+        log0, mant0 = log_abs_psi_fermion(tps, config, space, chi, trunc)
+        ratio_h, ratio_v = _replaced_ratio_tables(tps, config, space, chi,
+                                                  trunc, log0, mant0)
     # the diagonal of each table is psi(S)/psi(S) = 1 numerically by
     # construction (same canonical path) — sign consistency for free
     signs = snake_string_signs(config, ft, rdt)

@@ -22,12 +22,14 @@ TPU re-design:
 Ring convention: sites 1=TL, 2=TR, 3=BR, 4=BL; direction 1->2->3->4->1;
 per-site (in, out) loop legs: 1:(d, r), 2:(l, d), 3:(u, l), 4:(r, u).
 
-STATUS: the kernel chain (gate absorption, weighted truncation, re-gauge) is
-exactly state-preserving at tau=0 and lowers the energy for single small-tau
-steps; the ONE-SHOT weighted truncation is however not accurate enough for
-long evolutions (fidelity loss accumulates). The reference's CG-based FET
-refinement is the planned replacement; note the reference itself abandoned
-loop update for production use (overview_cn.md §2).
+STATUS: the kernel chain (gate absorption, weighted truncation, CG-FET
+refinement, re-gauge) is exactly state-preserving at tau=0 and lowers the
+energy for single small-tau steps. CG-FET improves single-step fidelity
+~60x over the one-shot truncation (measured 1.5e-2 vs 0.97 infidelity at
+4x4/D=4/tau=0.05), but per-step quality remains ~100x short of a
+simple-update step on a converged state, so LONG loop evolutions still
+degrade — the long-evolution parity test is xfail. Note the reference
+itself abandoned loop update for production use (overview_cn.md §2).
 """
 from __future__ import annotations
 
@@ -122,11 +124,20 @@ def _weighted_bond_projectors(env, m: int, D: int, inv_eps: float,
 
     def one(e):
         if power_iters > 0:
-            # reference-style PowerMethod for the dominant transfer-op
-            # eigenvectors (loop gauge fixing)
+            # reference-style dominant transfer-op eigenvectors (loop gauge
+            # fixing): Arnoldi for a few iterations beats plain power
+            # iteration on near-degenerate spectra
+            # (square_lattice_peps_projection4_impl.h:619-841 + ArnoldiSolver)
+            from peps_tpu.utils.arnoldi import arnoldi_dominant
             v0 = jnp.eye(m, dtype=e.dtype).reshape(-1)
-            _, v_r = power_method(lambda v: e @ v, v0, power_iters)
-            _, v_l = power_method(lambda v: e.T @ v, v0, power_iters)
+            if power_iters >= 8:
+                _, v_r = arnoldi_dominant(lambda v: e @ v, v0,
+                                          krylov=min(power_iters, 20))
+                _, v_l = arnoldi_dominant(lambda v: e.T @ v, v0,
+                                          krylov=min(power_iters, 20))
+            else:
+                _, v_r = power_method(lambda v: e @ v, v0, power_iters)
+                _, v_l = power_method(lambda v: e.T @ v, v0, power_iters)
             rho_up = v_r.reshape(m, m)
             rho_dn = v_l.reshape(m, m)
         else:

@@ -153,3 +153,54 @@ def exact_contract_pbc(tn: np.ndarray) -> complex:
         w = np.transpose(w, perm).reshape(D ** lx, D ** lx)
         total = w if total is None else total @ w
     return np.trace(total)
+
+
+def wavefunction_sum(a: jnp.ndarray, b: jnp.ndarray,
+                     ca: float = 1.0, cb: float = 1.0) -> jnp.ndarray:
+    """Superposition ca*|a> + cb*|b> as a TPS via bond-dimension direct sum
+    (reference: WaveFunctionSum, tps.h:159-216). a, b: [Ly, Lx, d, D..];
+    returns a TPS with bond dimension Da + Db. Boundary bonds keep the
+    padded-at-slot-0 convention by embedding each state's boundary content
+    in its own block and summing the rank-1 boundary closures."""
+    ly, lx, d = a.shape[0], a.shape[1], a.shape[2]
+    da, db = a.shape[3], b.shape[3]
+    dn = da + db
+    out = jnp.zeros((ly, lx, d, dn, dn, dn, dn),
+                    jnp.result_type(a.dtype, b.dtype))
+    # interior: block-diagonal embedding
+    out = out.at[:, :, :, :da, :da, :da, :da].set(a)
+    out = out.at[:, :, :, da:, da:, da:, da:].set(b)
+    # boundary legs are 1-dimensional (content at index 0): both blocks'
+    # boundary slots must merge onto slot 0 so the closure "take index 0"
+    # sums the two states. Move block-b's boundary content from slot da to
+    # slot 0 on each boundary leg (u of row 0, l of col 0, d of row Ly-1,
+    # r of col Lx-1), scaling in the amplitudes.
+    out = out * jnp.asarray(1.0, out.dtype)
+
+    def move(arr, axis_idx, rows=None, cols=None):
+        idx = [slice(None)] * 7
+        if rows is not None:
+            idx[0] = rows
+        if cols is not None:
+            idx[1] = cols
+        sl_from = list(idx)
+        sl_from[axis_idx] = slice(da, da + 1)
+        sl_to = list(idx)
+        sl_to[axis_idx] = slice(0, 1)
+        blk = arr[tuple(sl_from)]
+        arr = arr.at[tuple(sl_to)].add(blk)
+        arr = arr.at[tuple(sl_from)].set(0.0)
+        return arr
+
+    # scale the two blocks: fold ca / cb into ONE site of each block
+    # (site (0,0); scaling more sites would raise the coefficient to the
+    # number of scaled sites)
+    out = out.at[0, 0, :, :da].multiply(jnp.asarray(ca, out.dtype))
+    out = out.at[0, 0, :, da:].multiply(jnp.asarray(cb, out.dtype))
+    out = move(out, 3, rows=0)                 # u legs of row 0
+    out = move(out, 4, cols=0)                 # l legs of col 0
+    out = move(out, 5, rows=ly - 1)            # d legs of row Ly-1
+    out = move(out, 6, cols=lx - 1)            # r legs of col Lx-1
+    from peps_tpu.lattice import boundary_mask
+    mask = jnp.asarray(boundary_mask(ly, lx, d, dn), dtype=out.real.dtype)
+    return out * mask

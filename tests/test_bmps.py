@@ -129,3 +129,28 @@ def test_replace_traces(dtype):
                 want = complex(exact_contract(tn_mod))
                 got = complex(nn[x, p1, p2]) * np.exp(lw)
                 assert np.abs(got - want) < 1e-8 * max(1.0, abs(want)), (x, p1, p2)
+
+
+@pytest.mark.fast
+def test_entanglement_entropy_matches_dense():
+    """BMPS entanglement entropy across every cut vs dense Schmidt values
+    (reference: bmps_impl.h:266)."""
+    rng = np.random.default_rng(0)
+    chi, dv, lx = 3, 2, 4
+    mps = np.zeros((lx, chi, dv, chi))
+    mps[0, 0] = rng.normal(size=(dv, chi))
+    mps[lx - 1, :, :, 0] = rng.normal(size=(chi, dv))
+    for i in range(1, lx - 1):
+        mps[i] = rng.normal(size=(chi, dv, chi))
+    v = mps[0, 0]
+    for i in range(1, lx):
+        v = np.tensordot(v, mps[i], axes=([-1], [0]))
+    v = v[..., 0].reshape(dv ** lx)
+    for x in (1, 2, 3):
+        s = np.linalg.svd(v.reshape(dv ** x, dv ** (lx - x)),
+                          compute_uv=False)
+        p = s ** 2 / np.sum(s ** 2)
+        ref = -np.sum(np.where(p > 1e-300,
+                               p * np.log(np.maximum(p, 1e-300)), 0))
+        got = float(bmps.entanglement_entropy(jnp.asarray(mps), x))
+        assert abs(got - ref) < 1e-10, (x, got, ref)
