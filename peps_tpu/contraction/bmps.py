@@ -153,6 +153,8 @@ def absorb_row(bmps: jnp.ndarray, row: jnp.ndarray, chi: int,
         return compress_variational(grown, chi, trunc, two_site=False)
     if trunc.scheme == "fast":
         return compress_fast(grown, chi, trunc, power_iters=trunc.rsvd_power)
+    if trunc.scheme == "sketch":
+        return compress_sketch(grown, chi, trunc)
     return compress(grown, chi, trunc)
 
 
@@ -630,6 +632,141 @@ def compress_fast(mps: jnp.ndarray, chi: int, trunc: TruncParams,
     out = out / norms[:, None, None, None]
     return CompressResult(out, jnp.sum(jnp.log(norms)),
                           jnp.zeros((), out.real.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Sketch compression (randomized two-sided / generalized-Nystrom TT rounding).
+#
+# The Cholesky-LQ pass of `compress_fast` spends ~2/3 of its time in
+# cholesky + triangular_solve, which lower to long sequential panel loops on
+# TPU (measured: 29ms per [32]x[8,256,8,256] absorb vs 10.5ms for its Gram
+# matmuls alone, v5e). This scheme removes ALL large dense factorizations:
+#
+#   psi viewed across bond b:  X_b = C_b D_b   (left/right half contractions)
+#   generalized Nystrom:       X  ~= (X Omega)(Psi X Omega)^+ (Psi X)
+#                                  = C_b V_b pinv(W_b^T V_b) W_b^T D_b
+#   with V_b = D_b Omega [m, chi] and W_b = C_b^T Psi^T [m, chi+p] computed by
+#   two *sketch scans* whose carries are [m, chi]-sized (pure matmuls, 16x
+#   fewer FLOPs than a Gram pass), structured Gaussian mixing per column
+#   (the recursive TT-sketch of Al Daas/Ballard/Benner et al., "Randomized
+#   algorithms for rounding in the tensor-train format", SIAM J. Sci. Comput.
+#   2023 — public method, re-derived here for the boundary-MPS layout).
+#
+# The only factorization left is a [chi+p, chi] regularized least-squares per
+# bond, batched across ALL bonds in one call (chi=32-sized Cholesky).
+# Scale safety: the bond replacement V (W^T V)^+ W^T is invariant under
+# per-bond rescaling of V and W, so sketch carries are normalized per step.
+# ---------------------------------------------------------------------------
+
+
+def _sketch_pinv_apply(a, w, eps_rel):
+    """G = pinv(a) @ w^T for batched a [B, l, chi], w [B, m, l] -> [B, chi, m]
+    via eps-regularized normal equations (chi-sized Cholesky, one call)."""
+    chi = a.shape[-1]
+    g = jnp.einsum("blc,bld->bcd", jnp.conj(a), a,
+                   precision=jax.lax.Precision.HIGHEST)    # [B, chi, chi]
+    # normalize by the max diagonal (not trace/chi): the Gram is routinely
+    # rank-deficient (rank <= D of chi), and f32 roundoff produces negative
+    # eigenvalues at the MAX-eigenvalue scale — the jitter must dominate them
+    diag = jnp.real(jnp.einsum("bcc->bc", g))
+    scale = jnp.maximum(jnp.max(diag, axis=-1),
+                        jnp.finfo(a.real.dtype).tiny)
+    gn = g / scale[:, None, None]
+    eye = jnp.eye(chi, dtype=a.dtype)
+    l = jnp.linalg.cholesky(gn + eps_rel * eye)
+    # rhs = a^H w^T : [B, chi, m]
+    rhs = jnp.einsum("blc,bml->bcm", jnp.conj(a), w,
+                     precision=jax.lax.Precision.HIGHEST)
+    rhs = rhs / scale[:, None, None].astype(rhs.dtype)
+    y = jax.scipy.linalg.solve_triangular(l, rhs, lower=True)
+    return jax.scipy.linalg.solve_triangular(
+        jnp.conj(jnp.swapaxes(l, -1, -2)), y, lower=False)
+
+
+def compress_sketch(mps: jnp.ndarray, chi: int, trunc: TruncParams,
+                    oversample: int = 8) -> CompressResult:
+    """Matmul-only randomized compression [Lx, m, D, m] -> [Lx, chi, D, chi].
+
+    See the block comment above. Deterministic: the Gaussian mixing blocks
+    come from a fixed PRNG key, so every call (and every vmapped chain)
+    shares the same sketch — amplitude ratios formed across calls stay
+    consistent to the same truncated map."""
+    lx, m, dv, _ = mps.shape
+    dtype = mps.dtype
+    rdt = mps.real.dtype if jnp.iscomplexobj(mps) else mps.dtype
+    eps_rel = 1e-12 if jnp.finfo(rdt).bits >= 64 else 1e-5
+    losk = chi + oversample
+    key = jax.random.PRNGKey(20260816)
+    kz_last, kz_mid, ky_first, ky_mid = jax.random.split(key, 4)
+
+    # ---- right sketches V_b [lx-1, m, chi] (b = bond between cores b, b+1)
+    z_last = jax.random.normal(kz_last, (dv, chi), rdt).astype(dtype) \
+        / jnp.sqrt(jnp.asarray(float(dv), rdt)).astype(dtype)
+    v_last = mps[lx - 1, :, :, 0] @ z_last                       # [m, chi]
+    n0 = jnp.maximum(jnp.linalg.norm(v_last), jnp.finfo(rdt).tiny)
+    v_last = v_last / n0
+
+    def v_step(carry, xs):
+        core, z = xs                                  # [m, dv, m], [dv*chi, chi]
+        t = jnp.einsum("avc,ci->avi", core, carry)
+        new = t.reshape(m, dv * chi) @ z
+        n = jnp.maximum(jnp.linalg.norm(new), jnp.finfo(rdt).tiny)
+        new = new / n
+        return new, new
+
+    if lx > 2:
+        z_mid = jax.random.normal(kz_mid, (lx - 2, dv * chi, chi), rdt) \
+            .astype(dtype) / jnp.sqrt(jnp.asarray(float(dv * chi), rdt)).astype(dtype)
+        _, vs = jax.lax.scan(v_step, v_last, (mps[1:lx - 1], z_mid),
+                             reverse=True)
+        v = jnp.concatenate([vs, v_last[None]], axis=0)          # [lx-1, m, chi]
+    else:
+        v = v_last[None]
+
+    # ---- left sketches W_b [lx-1, m, losk]
+    y_first = jax.random.normal(ky_first, (dv, losk), rdt).astype(dtype) \
+        / jnp.sqrt(jnp.asarray(float(dv), rdt)).astype(dtype)
+    w_first = jnp.einsum("vc,vj->cj", mps[0, 0], y_first)        # [m, losk]
+    nw = jnp.maximum(jnp.linalg.norm(w_first), jnp.finfo(rdt).tiny)
+    w_first = w_first / nw
+
+    def w_step(carry, xs):
+        core, y = xs                                  # [m, dv, m], [dv, losk, losk]
+        t = jnp.einsum("ai,avc->vic", carry, core)
+        new = jnp.einsum("vic,vij->cj", t, y)
+        n = jnp.maximum(jnp.linalg.norm(new), jnp.finfo(rdt).tiny)
+        new = new / n
+        return new, new
+
+    if lx > 2:
+        y_mid = jax.random.normal(ky_mid, (lx - 2, dv, losk, losk), rdt) \
+            .astype(dtype) / jnp.sqrt(jnp.asarray(float(dv * losk), rdt)).astype(dtype)
+        _, ws = jax.lax.scan(w_step, w_first, (mps[1:lx - 1], y_mid))
+        w = jnp.concatenate([w_first[None], ws], axis=0)         # [lx-1, m, losk]
+    else:
+        w = w_first[None]
+
+    # ---- per-bond oblique factors: A_b = W_b^T V_b, G_b = pinv(A_b) W_b^T
+    a = jnp.einsum("bml,bmc->blc", w, v)                         # [lx-1, losk, chi]
+    g = _sketch_pinv_apply(a, w, eps_rel)                        # [lx-1, chi, m]
+
+    # ---- assemble cores (one batched contraction, no scan)
+    first_mat = jnp.einsum("vc,cj->vj", mps[0, 0], v[0])         # [dv, chi]
+    b_first = jnp.zeros((chi, dv, chi), dtype).at[0].set(first_mat)
+    if lx > 2:
+        b_inner = jnp.einsum("xka,xavc,xcj->xkvj",
+                             g[:lx - 2], mps[1:lx - 1], v[1:])
+    else:
+        b_inner = jnp.zeros((0, chi, dv, chi), dtype)
+    last_mat = jnp.einsum("ka,av->kv", g[lx - 2], mps[lx - 1, :, :, 0])
+    b_last = jnp.zeros((chi, dv, chi), dtype).at[:, :, 0].set(last_mat)
+
+    out = jnp.concatenate([b_first[None], b_inner, b_last[None]], axis=0)
+    norms = jnp.sqrt(jnp.sum(jnp.abs(out) ** 2, axis=(1, 2, 3)))
+    norms = jnp.maximum(norms, jnp.finfo(rdt).tiny)
+    out = out / norms[:, None, None, None]
+    return CompressResult(out, jnp.sum(jnp.log(norms)),
+                          jnp.zeros((), rdt))
 
 
 def entanglement_entropy(mps: jnp.ndarray, x: int) -> jnp.ndarray:

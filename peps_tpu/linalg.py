@@ -38,7 +38,7 @@ class TruncParams:
     trunc_err: float = 1e-12
     # BMPS compression scheme (reference BMPSTruncateParams factories
     # SVD/Variational2Site/Variational1Site, bmps.h:48-98):
-    scheme: str = "svd"          # "svd" | "var2" | "var1" | "fast"
+    scheme: str = "svd"          # "svd" | "var2" | "var1" | "fast" | "sketch"
     var_sweeps: int = 2          # fitting sweeps for variational schemes
     rsvd_power: int = 0          # power iterations for the "fast" scheme
 

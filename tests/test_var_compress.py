@@ -56,6 +56,43 @@ def test_amplitude_with_variational_scheme_exact():
     assert abs(got - want) < 1e-8 * max(1.0, abs(want))
 
 
+@pytest.mark.fast
+def test_sketch_scheme_amplitude_accuracy():
+    """Randomized two-sided (Nystrom) compression: near-exact when chi covers
+    the rank; bounded error in the truncating regime."""
+    key = jax.random.PRNGKey(47)
+    tps = random_tps(key, 4, 4, 2, 3, dtype=jnp.float64, scale=0.7)
+    config = jax.random.randint(jax.random.fold_in(key, 1), (4, 4), 0, 2)
+    tn = project(tps, config)
+    want = exact_contract(np.asarray(tn))
+    mant, logw = bmps.amplitude(tn, 9, TruncParams(9, 1, 0.0, scheme="sketch"))
+    got = float(mant) * np.exp(float(logw))
+    assert abs(got - want) < 1e-5 * abs(want)
+    # truncating regime: oblique projection noise stays within a modest
+    # multiple of the optimal (svd) truncation error
+    mant_k, logw_k = bmps.amplitude(tn, 6, TruncParams(6, 1, 0.0,
+                                                       scheme="sketch"))
+    mant_s, logw_s = bmps.amplitude(tn, 6, TruncParams(6, 1, 0.0))
+    err_k = abs(float(mant_k) * np.exp(float(logw_k)) - want) / abs(want)
+    err_s = abs(float(mant_s) * np.exp(float(logw_s)) - want) / abs(want)
+    assert err_k < 10 * err_s + 1e-3, (err_k, err_s)
+
+
+@pytest.mark.fast
+def test_sketch_scheme_small_widths():
+    """Edge cases Lx = 2, 3 (no/one inner core) stay exact for chi >= rank."""
+    key = jax.random.PRNGKey(11)
+    for lx in (2, 3):
+        tps = random_tps(key, 3, lx, 2, 2, dtype=jnp.float64, scale=0.8)
+        config = jax.random.randint(jax.random.fold_in(key, lx), (3, lx), 0, 2)
+        tn = project(tps, config)
+        want = exact_contract(np.asarray(tn))
+        mant, logw = bmps.amplitude(tn, 8, TruncParams(8, 1, 0.0,
+                                                       scheme="sketch"))
+        got = float(mant) * np.exp(float(logw))
+        assert abs(got - want) < 1e-8 * max(1.0, abs(want)), (lx, got, want)
+
+
 def test_fast_scheme_amplitude_accuracy():
     """Matmul-only ("fast") compression: near-lossless when chi >= rank and
     on par with SVD in the truncating regime."""
