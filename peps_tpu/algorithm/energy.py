@@ -117,45 +117,61 @@ def _row_pass(tps, tn, config, h_bond, with_holes: bool, stacks):
     return bond_e, ratio1, o_tensor, psi_loc
 
 
-def _pair_row_envs(top, bot, row1, row2, dtype, with_logs: bool = False):
+def _fuse_pair_columns(row1, row2):
+    """Fuse a two-row column stack into fat single-row site tensors.
+
+    row1: [Lx, u, m, d, r], row2: [Lx, d, n, e, f] (row2's u-leg contracts
+    row1's d-leg) -> S: [Lx, u, m*n, e, r*f]. A two-row (BTen2) transfer is
+    then a plain one-row transfer with 64-wide horizontal legs — one fat
+    MXU matmul per step instead of four skinny ones."""
+    lx, dv = row1.shape[0], row1.shape[1]
+    s = jnp.einsum("xumdr,xdnef->xumnerf", row1, row2)
+    return s.reshape(lx, dv, dv * dv, dv, dv * dv)
+
+
+def _pair_row_envs(top, bot, row1, row2, dtype, with_logs: bool = False,
+                   fused=None):
     """Left/right two-row environments (BTen2). Axes of an env: (a=top bond,
     m1=row1 l-leg, m2=row2 l-leg, c=bot bond). Returns (lefts [Lx+1, ...],
     rights [Lx+1, ...]); with_logs=True appends the cumulative log of the
     per-step normalizations (log_lefts [Lx+1], log_rights [Lx+1]) so traces
-    built from DIFFERENT env stacks can be rescaled consistently."""
+    built from DIFFERENT env stacks can be rescaled consistently.
+
+    Internally runs on column-fused site tensors (see _fuse_pair_columns) so
+    every transfer step is a single [chi*dv^2, chi] x [..] contraction chain
+    with MXU-sized inner dimensions."""
+    lx = top.shape[0]
     chi = top.shape[1]
     dv = row1.shape[1]
     rdt = row1.real.dtype if jnp.iscomplexobj(row1) else row1.dtype
-    init = jnp.zeros((chi, dv, dv, chi), dtype).at[0, 0, 0, 0].set(1.0)
+    if fused is None:
+        fused = _fuse_pair_columns(row1, row2)
+    init = jnp.zeros((chi, dv * dv, chi), dtype).at[0, 0, 0].set(1.0)
 
     def transfer_l(carry, xs):
         env, lw = carry
-        t_x, s1, s2, b_x = xs
-        t = jnp.einsum("amnc,auA->mncuA", env, t_x)
-        t = jnp.einsum("mncuA,umdr->ncAdr", t, s1)
-        t = jnp.einsum("ncAdr,dnef->cAref", t, s2)
-        t = jnp.einsum("cAref,ceC->ArfC", t, b_x)
+        t_x, s_x, b_x = xs
+        t = bmps._col_transfer_left(env, t_x, s_x, b_x)
         n = jnp.maximum(jnp.linalg.norm(t), jnp.finfo(rdt).tiny)
         out = (t / n, lw + jnp.log(n))
         return out, out
 
     def transfer_r(carry, xs):
         env, lw = carry
-        t_x, s1, s2, b_x = xs
-        t = jnp.einsum("auA,ArfC->aurfC", t_x, env)
-        t = jnp.einsum("aurfC,umdr->amdfC", t, s1)
-        t = jnp.einsum("amdfC,dnef->amneC", t, s2)
-        t = jnp.einsum("amneC,ceC->amnc", t, b_x)
+        t_x, s_x, b_x = xs
+        t = bmps._col_transfer_right(env, t_x, s_x, b_x)
         n = jnp.maximum(jnp.linalg.norm(t), jnp.finfo(rdt).tiny)
         out = (t / n, lw + jnp.log(n))
         return out, out
 
-    xs = (top, row1, row2, bot)
+    xs = (top, fused, bot)
     zero = jnp.zeros((), rdt)
     _, (ls, lw_l) = jax.lax.scan(transfer_l, (init, zero), xs)
     _, (rs, lw_r) = jax.lax.scan(transfer_r, (init, zero), xs, reverse=True)
-    lefts = jnp.concatenate([init[None], ls], axis=0)
-    rights = jnp.concatenate([rs, init[None]], axis=0)
+    lefts = jnp.concatenate([init[None], ls], axis=0) \
+        .reshape(lx + 1, chi, dv, dv, chi)
+    rights = jnp.concatenate([rs, init[None]], axis=0) \
+        .reshape(lx + 1, chi, dv, dv, chi)
     if with_logs:
         log_lefts = jnp.concatenate([zero[None], lw_l])
         log_rights = jnp.concatenate([lw_r, zero[None]])
@@ -175,7 +191,11 @@ def _pair_pass(tps, tn, config, h_v, h_d, h_ad, stacks, h_s5=None):
     def per_pair(top, bot, row1, row2, cands1, cands2, c1, c2):
         """One row pair (y, y+1). cands1/cands2: [Lx, d, u, l, d, r]; c1/c2:
         the two config rows [Lx]."""
-        lefts, rights = _pair_row_envs(top, bot, row1, row2, dtype)
+        fused = _fuse_pair_columns(row1, row2)
+        lefts, rights = _pair_row_envs(top, bot, row1, row2, dtype,
+                                       fused=fused)
+        chi = top.shape[1]
+        dv = row1.shape[1]
         e = jnp.zeros((), rdt)
 
         if h_v is not None:
@@ -280,15 +300,23 @@ def _tnn_row_pass(tps, tn, config, h_tnn, stacks):
 
 def local_energy_and_holes(tps: jnp.ndarray, config: jnp.ndarray,
                            model: ModelTensors, chi: int, trunc: TruncParams,
-                           with_holes: bool = True) -> EnergyHoles:
+                           with_holes: bool = True,
+                           stacks: bmps.EnvStacks | None = None
+                           ) -> EnergyHoles:
     """E_loc(config) and O = d ln psi / dA for one configuration.
 
     Reference: `ModelEnergySolver::CalEnergyAndHoles` (model_energy_solver.h:70)
     + `SquareNNNModelEnergySolver` traversal (square_nnn_energy_solver.h:81).
+
+    stacks: optional precomputed env stacks for this configuration. The
+    evaluator computes stacks for ALL chains in one vmapped pass (absorbs at
+    full batch) and chunks only the table passes — chunked absorbs run at
+    half throughput (latency-bound at small batch).
     """
     ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
     tn = project(tps, config)
-    stacks = bmps.all_env_stacks(tn, chi, trunc)
+    if stacks is None:
+        stacks = bmps.all_env_stacks(tn, chi, trunc)
 
     bond_e, ratio1, o_tensor, psi_loc = _row_pass(
         tps, tn, config, model.h_h, with_holes, stacks)
@@ -428,7 +456,11 @@ def _pair_tables(tps, tn, config, stacks, want_v, want_d, want_ad):
     dtype = tps.dtype
 
     def per_pair(top, bot, row1, row2, cands1, cands2, c1, c2):
-        lefts, rights = _pair_row_envs(top, bot, row1, row2, dtype)
+        fused = _fuse_pair_columns(row1, row2)
+        lefts, rights = _pair_row_envs(top, bot, row1, row2, dtype,
+                                       fused=fused)
+        chi = top.shape[1]
+        dv = row1.shape[1]
         out_v = out_d = out_ad = None
 
         if want_v:

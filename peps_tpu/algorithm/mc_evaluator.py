@@ -86,7 +86,18 @@ def _mc_collect(tps, configs, key, model: ModelTensors, chi, trunc, rule,
             return jax.vmap(fn)(configs)
         # memory-bounded evaluation: the holes/pair-table intermediates of a
         # full chain-batched vmap can exceed HBM at production sizes (8x8,
-        # D=8, chi=32); lax.map with a batch keeps peak memory flat
+        # D=8, chi=32); lax.map with a batch keeps peak memory flat.
+        # Env stacks are computed for ALL chains vmapped first (absorbs at
+        # full batch run ~2x faster than chunked) and threaded through.
+        if local is local_energy_and_holes:
+            from peps_tpu.contraction import bmps as _bmps
+            from peps_tpu.tps import project as _project
+            stacks = jax.vmap(lambda c: _bmps.all_env_stacks(
+                _project(tps, c), chi, trunc))(configs)
+            fn2 = lambda args: local(tps, args[0], model, chi, trunc,
+                                     with_holes=with_grad, stacks=args[1])
+            return jax.lax.map(fn2, (configs, stacks),
+                               batch_size=eval_chunk)
         return jax.lax.map(fn, configs, batch_size=eval_chunk)
 
     def step(carry, _):
