@@ -179,6 +179,25 @@ def _pair_row_envs(top, bot, row1, row2, dtype, with_logs: bool = False,
     return lefts, rights
 
 
+def _vertical_pair_table(lefts, rights, top, bot, cands1, cands2,
+                         chi, dv, d):
+    """Vertical-pair amplitude table [Lx, d, d] via a fused two-row punch
+    hole: ONE fat [(c,A)=chi^2-contraction] matmul per column gives the full
+    column environment; both candidate substitutions then cost O(d) small
+    contractions. Axis orders keep the last two dims >= (32, 64) so TPU
+    tiling does not pad memory."""
+    lx = top.shape[0]
+    lf = lefts[:lx].reshape(lx, chi, dv * dv, chi)
+    rt = rights[1:].reshape(lx, chi, dv * dv, chi)
+    t1 = jnp.einsum("xaMc,xauA->xucMA", lf, top)          # last dims (M, A)
+    t2 = jnp.einsum("xceC,xARC->xecAR", bot, rt)          # last dims (A, R)
+    # hole2[x, u, e, M, R]: contract (c, A) — K = chi^2 fat matmul
+    hole2 = jnp.einsum("xucMA,xecAR->xueMR", t1, t2)
+    h6 = hole2.reshape(lx, dv, dv, dv, dv, dv, dv)        # [x,u,e,m,n,r,f]
+    t3 = jnp.einsum("xuemnrf,xpumdr->xpnefd", h6, cands1)
+    return jnp.einsum("xpnefd,xqdnef->xpq", t3, cands2)   # [Lx, d, d]
+
+
 def _pair_pass(tps, tn, config, h_v, h_d, h_ad, stacks, h_s5=None):
     """Vertical + diagonal + anti-diagonal (+ sqrt5) bond energies from
     two-row sandwiches. h_s5 couples ((y+1, x), (y, x+2)) over a 3-column
@@ -199,15 +218,8 @@ def _pair_pass(tps, tn, config, h_v, h_d, h_ad, stacks, h_s5=None):
         e = jnp.zeros((), rdt)
 
         if h_v is not None:
-            # contraction order matters: carrying BOTH candidate axes with
-            # chi^2 D^3 open legs materializes a multi-GB intermediate at
-            # production sizes; close (bot x rights) into the second
-            # candidate first so the largest tensor stays at chi^2 D^2 x d
-            t = jnp.einsum("xamnc,xauA->xmncuA", lefts[:lx], top)
-            t = jnp.einsum("xmncuA,xpumdr->xpncAdr", t, cands1)
-            br = jnp.einsum("xceC,xArfC->xceArf", bot, rights[1:])
-            b4 = jnp.einsum("xceArf,xqdnef->xcArqdn", br, cands2)
-            table = jnp.einsum("xpncAdr,xcArqdn->xpq", t, b4)  # [Lx, d, d]
+            table = _vertical_pair_table(lefts, rights, top, bot,
+                                         cands1, cands2, chi, dv, d)
             psi_b = table[jnp.arange(lx), c1, c2]
             safe = jnp.where(psi_b == 0, 1.0, psi_b)
             e = e + jnp.sum(h_v[c1, c2] * table / safe[:, None, None])
@@ -464,11 +476,8 @@ def _pair_tables(tps, tn, config, stacks, want_v, want_d, want_ad):
         out_v = out_d = out_ad = None
 
         if want_v:
-            t = jnp.einsum("xamnc,xauA->xmncuA", lefts[:lx], top)
-            t = jnp.einsum("xmncuA,xpumdr->xpncAdr", t, cands1)
-            t = jnp.einsum("xpncAdr,xqdnef->xpqcAref", t, cands2)
-            t = jnp.einsum("xpqcAref,xceC->xpqArfC", t, bot)
-            table = jnp.einsum("xpqArfC,xArfC->xpq", t, rights[1:])
+            table = _vertical_pair_table(lefts, rights, top, bot,
+                                         cands1, cands2, chi, dv, d)
             psi_b = table[jnp.arange(lx), c1, c2]
             safe = jnp.where(psi_b == 0, 1.0, psi_b)
             out_v = table / safe[:, None, None]

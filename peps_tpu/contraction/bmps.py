@@ -146,6 +146,9 @@ def absorb_row(bmps: jnp.ndarray, row: jnp.ndarray, chi: int,
                trunc: TruncParams) -> CompressResult:
     """multiply_mpo followed by compression (one `GrowBMPSStep`); the
     compression scheme is selected by trunc.scheme."""
+    if trunc.scheme == "sketch":
+        # fused path: never materializes the grown MPS
+        return absorb_row_sketch(bmps, row, chi, trunc)
     grown = multiply_mpo(bmps, row)
     if trunc.scheme == "var2":
         return compress_variational(grown, chi, trunc, two_site=True)
@@ -759,6 +762,111 @@ def compress_sketch(mps: jnp.ndarray, chi: int, trunc: TruncParams,
     else:
         b_inner = jnp.zeros((0, chi, dv, chi), dtype)
     last_mat = jnp.einsum("ka,av->kv", g[lx - 2], mps[lx - 1, :, :, 0])
+    b_last = jnp.zeros((chi, dv, chi), dtype).at[:, :, 0].set(last_mat)
+
+    out = jnp.concatenate([b_first[None], b_inner, b_last[None]], axis=0)
+    norms = jnp.sqrt(jnp.sum(jnp.abs(out) ** 2, axis=(1, 2, 3)))
+    norms = jnp.maximum(norms, jnp.finfo(rdt).tiny)
+    out = out / norms[:, None, None, None]
+    return CompressResult(out, jnp.sum(jnp.log(norms)),
+                          jnp.zeros((), rdt))
+
+
+def absorb_row_sketch(bmps_arr: jnp.ndarray, row: jnp.ndarray, chi: int,
+                      trunc: TruncParams, oversample: int = 8
+                      ) -> CompressResult:
+    """Fused multiply_mpo + compress_sketch that never materializes the
+    grown [Lx, chi*D, D, chi*D] MPS (67MB/chain at production sizes — pure
+    HBM traffic). The sketch recursions contract the (boundary, row) pair
+    implicitly: grown core M_x[(a,l), v, (b,r)] = sum_u B[a,u,b] S[u,l,v,r].
+
+    Same mathematical map as multiply_mpo -> compress_sketch (same fixed
+    Gaussian mixing blocks, same bond pinv); only the contraction order
+    differs."""
+    lx, chi_in, du, _ = bmps_arr.shape
+    dl = row.shape[2]
+    dv = row.shape[3]                       # grown vertical leg = row d-leg
+    m = chi_in * dl
+    dtype = bmps_arr.dtype
+    rdt = bmps_arr.real.dtype if jnp.iscomplexobj(bmps_arr) else dtype
+    eps_rel = 1e-12 if jnp.finfo(rdt).bits >= 64 else 1e-5
+    losk = chi + oversample
+    key = jax.random.PRNGKey(20260816)
+    kz_last, kz_mid, ky_first, ky_mid = jax.random.split(key, 4)
+
+    def norm1(x):
+        return x / jnp.maximum(jnp.linalg.norm(x), jnp.finfo(rdt).tiny)
+
+    # ---- right sketches V_b [lx-1, m, chi], V stored as [chi_in, dl, chi]
+    z_last = jax.random.normal(kz_last, (dv, chi), rdt).astype(dtype) \
+        / jnp.sqrt(jnp.asarray(float(dv), rdt)).astype(dtype)
+    # edge core x = lx-1: (b, r) closed at (0, 0)
+    v_last = norm1(jnp.einsum("au,ulv,vi->ali", bmps_arr[lx - 1, :, :, 0],
+                              row[lx - 1, :, :, :, 0], z_last))
+    if lx > 2:
+        z_mid = jax.random.normal(kz_mid, (lx - 2, dv * chi, chi), rdt) \
+            .astype(dtype) / jnp.sqrt(jnp.asarray(float(dv * chi), rdt)) \
+            .astype(dtype)
+
+        def v_step(carry, xs):
+            b_x, s_x, z = xs                 # [chi,du,chi], [u,l,v,r], [dv*chi,chi]
+            v3 = carry                       # [chi_in, dl, chi] = (b, r, i)
+            x1 = jnp.einsum("ulvr,bri->ulvbi", s_x, v3)
+            t1 = jnp.einsum("aub,ulvbi->alvi", b_x, x1)
+            new = t1.reshape(m, dv * chi) @ z
+            new = norm1(new).reshape(chi_in, dl, chi)
+            return new, new
+
+        _, vs = jax.lax.scan(v_step, v_last, (bmps_arr[1:lx - 1],
+                                              row[1:lx - 1], z_mid),
+                             reverse=True)
+        v = jnp.concatenate([vs, v_last[None]], axis=0)  # [lx-1, chi_in, dl, chi]
+    else:
+        v = v_last[None]
+
+    # ---- left sketches W_b [lx-1, (b,r)-space, losk] stored [chi_in, dl, losk]
+    y_first = jax.random.normal(ky_first, (dv, losk), rdt).astype(dtype) \
+        / jnp.sqrt(jnp.asarray(float(dv), rdt)).astype(dtype)
+    # edge core x = 0: (a, l) closed at (0, 0)
+    w_first = norm1(jnp.einsum("ub,uvr,vj->brj", bmps_arr[0, 0],
+                               row[0, :, 0, :, :], y_first))
+    if lx > 2:
+        y_mid = jax.random.normal(ky_mid, (lx - 2, dv, losk, losk), rdt) \
+            .astype(dtype) / jnp.sqrt(jnp.asarray(float(dv * losk), rdt)) \
+            .astype(dtype)
+
+        def w_step(carry, xs):
+            b_x, s_x, y = xs                 # y: [dv, losk, losk]
+            w3 = carry                       # [chi_in, dl, losk] = (a, l, j)
+            x1 = jnp.einsum("ulvr,alj->uvraj", s_x, w3)
+            t1 = jnp.einsum("aub,uvraj->bvrj", b_x, x1)
+            new = jnp.einsum("bvrj,vjJ->brJ", t1, y)
+            new = norm1(new)
+            return new, new
+
+        _, ws = jax.lax.scan(w_step, w_first, (bmps_arr[1:lx - 1],
+                                               row[1:lx - 1], y_mid))
+        w = jnp.concatenate([w_first[None], ws], axis=0)
+    else:
+        w = w_first[None]
+
+    # ---- cross matrices + bond pinv (shared with compress_sketch)
+    a = jnp.einsum("xblj,xblc->xjc", w, v)               # [lx-1, losk, chi]
+    g = _sketch_pinv_apply(a, w.reshape(lx - 1, m, losk), eps_rel)
+    g3 = g.reshape(lx - 1, chi, chi_in, dl)              # [x, k, a, l]
+
+    # ---- assemble cores
+    first_mat = jnp.einsum("ub,uvr,brj->vj", bmps_arr[0, 0],
+                           row[0, :, 0, :, :], v[0])     # [dv, chi]
+    b_first = jnp.zeros((chi, dv, chi), dtype).at[0].set(first_mat)
+    if lx > 2:
+        q = jnp.einsum("xkal,xaub->xklub", g3[:lx - 2], bmps_arr[1:lx - 1])
+        r = jnp.einsum("xklub,xulvr->xkbvr", q, row[1:lx - 1])
+        b_inner = jnp.einsum("xkbvr,xbrj->xkvj", r, v[1:])
+    else:
+        b_inner = jnp.zeros((0, chi, dv, chi), dtype)
+    last_mat = jnp.einsum("kal,au,ulv->kv", g3[lx - 2],
+                          bmps_arr[lx - 1, :, :, 0], row[lx - 1, :, :, :, 0])
     b_last = jnp.zeros((chi, dv, chi), dtype).at[:, :, 0].set(last_mat)
 
     out = jnp.concatenate([b_first[None], b_inner, b_last[None]], axis=0)
