@@ -4,13 +4,15 @@ Reference: `singlet_pair_correlation_measurement_mixin.h` (561 LoC; the t-J
 superconducting <Delta^dag_b Delta_b'> correlator via BMPSWalker
 "excited-state propagation").
 
-TPU version: in-row bond pairs b = (i, i+1), b' = (k, k+1) with k > i+1.
-Delta_b = (c_{i up} c_{i+1 dn} - c_{i dn} c_{i+1 up}) / sqrt(2). Because each
-Delta is fermion-parity-even, no Jordan-Wigner string stretches between the
-bonds; all signs are computed exactly by sequential parity counting on the
-occupation vector (vectorized cumsums). Amplitude ratios psi(s')/psi(s) for
-the 4-site replacements come from the same walker machinery as the bosonic
-correlators.
+TPU version: bond pairs b = (s, s+step), b' = (k, k+step) along a lattice
+line — in-row horizontal bonds and (via the diagonal-reflected lattice)
+in-column vertical bonds. Delta_b = (c_{i up} c_{j dn} - c_{i dn} c_{j up})
+/ sqrt(2). Because each Delta is fermion-parity-even, no Jordan-Wigner
+string stretches between the bonds; all signs are computed exactly by
+sequential parity counting on the occupation vector (vectorized cumsums)
+in the fixed row-major mode order m = 2*(y*Lx+x) + spin. Amplitude ratios
+psi(s')/psi(s) for the 4-site replacements come from the same walker
+machinery as the bosonic correlators.
 """
 from __future__ import annotations
 
@@ -19,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from peps_tpu.contraction import bmps
+from peps_tpu.lattice import transpose_tps
 from peps_tpu.linalg import TruncParams
 from peps_tpu.tps import project
 
@@ -60,26 +63,31 @@ def _pair_op_sign(occ_sprime, i, j, k, l, sa, sb):
     return sign
 
 
-def tj_singlet_pair_corr_row(tps, config, chi: int, trunc: TruncParams):
-    """<Delta^dag_{(y,i)} Delta_{(y,k)}> estimator table [Ly, Lx-1, Lx-1]
-    (horizontal bonds at columns i and k of the same row; zero unless
-    k > i+1 and the sample supports the transition)."""
-    ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
-    dtype = tps.dtype
-    tn = project(tps, config)
+def _pair_corr_frame(tps_f, config_f, occ_s, chi: int, trunc: TruncParams,
+                     stride_row: int, stride_pos: int):
+    """<Delta^dag Delta> walker in one lattice frame.
+
+    tps_f/config_f: the (possibly transposed) TPS and configuration that the
+    BMPS walker scans row by row. occ_s: mode occupations of the ORIGINAL
+    configuration (row-major mode order). The original flat site index of
+    in-frame position (r, i) is r*stride_row + i*stride_pos; the bond at
+    (r, i) pairs it with (r, i+1) i.e. flat offset +stride_pos.
+
+    Returns [Nrows_f, Nb, Nb] with Nb = frame row length - 1; entry (r,i,k)
+    estimates <Delta^dag_{bond i} Delta_{bond k}> (zero unless k > i+1 and
+    the sample supports the transition)."""
+    ly, lx, d = tps_f.shape[0], tps_f.shape[1], tps_f.shape[2]
+    tn = project(tps_f, config_f)
     stacks = bmps.all_env_stacks(tn, chi, trunc)
     nb = lx - 1
     empty = 0
 
-    def per_row(top, bot, row, cands, cfg_row, y):
+    def per_row(top, bot, row, cands, cfg_row, r):
         envs = bmps.row_envs(top, bot, row)
-        holes = bmps.punch_holes_row(envs, top, bot)
-        psi_loc = jnp.einsum("xuldr,xuldr->x", holes, row)
 
         # validity of b = (i, i+1) as an annihilated singlet in <s|:
-        # s(i), s(i+1) in {(up,dn), (dn,up)}; coefficient alpha(s_i):
-        # Delta^dag creates (up,dn)-(dn,up) /sqrt2; <s| pair (sigma, sbar)
-        # corresponds to channel sa = spin at site i.
+        # s(i), s(i+1) in {(up,dn), (dn,up)}; Delta^dag creates the
+        # (up,dn)-(dn,up) combination /sqrt2; channel sa = spin at site i.
         c1, c2 = cfg_row[:nb], cfg_row[1:]
         pair_ud = (c1 == 1) & (c2 == 2)
         pair_du = (c1 == 2) & (c2 == 1)
@@ -87,8 +95,6 @@ def tj_singlet_pair_corr_row(tps, config, chi: int, trunc: TruncParams):
         sa = jnp.where(pair_du, 1, 0)           # spin index at site i
         # b' = (k, k+1) must be empty in s
         bp_valid = (c1 == empty) & (c2 == empty)
-
-        occ_s = _occ_vector(config, lx)
 
         def for_i(i):
             # excited walker: replace cols i, i+1 by the EMPTY local state
@@ -110,8 +116,6 @@ def tj_singlet_pair_corr_row(tps, config, chi: int, trunc: TruncParams):
                     val = jnp.einsum("alc,alc->", c, envs.rights[k + 2])
                     return val * jnp.exp(envs.log_rights[k + 2]
                                          - envs.log_rights[i + 2])
-                # reference scale: psi_loc at closure (i | i+1): use
-                # lefts[i], rights[i+2]-consistent pair closure below.
                 amp_ud = close(1, 2)
                 amp_du = close(2, 1)
 
@@ -122,39 +126,40 @@ def tj_singlet_pair_corr_row(tps, config, chi: int, trunc: TruncParams):
                                                 row[i + 1], bot[i + 1])
                 psi_ref = jnp.einsum("alc,alc->", cpair, envs.rights[i + 2])
 
-                # fermionic signs for each channel via parity counting
-                site_i = y * lx + i
-                site_k = y * lx + k
+                # fermionic signs for each channel via parity counting on the
+                # ORIGINAL row-major mode order
+                site_i = r * stride_row + i * stride_pos
+                site_j = site_i + stride_pos
+                site_k = r * stride_row + k * stride_pos
+                site_l = site_k + stride_pos
+
                 # occ(s'): s with b emptied and b' filled per channel
-                def occ_sprime(state1):
+                def occ_sprime(up_first):
                     occ = occ_s
-                    # empty b
                     occ = occ.at[2 * site_i + 0].set(0)
                     occ = occ.at[2 * site_i + 1].set(0)
-                    occ = occ.at[2 * site_i + 2].set(0)
-                    occ = occ.at[2 * site_i + 3].set(0)
-                    # fill b' with (state1, partner)
-                    up_first = state1 == 1
+                    occ = occ.at[2 * site_j + 0].set(0)
+                    occ = occ.at[2 * site_j + 1].set(0)
                     occ = occ.at[2 * site_k + 0].set(
                         jnp.where(up_first, 1, 0))
                     occ = occ.at[2 * site_k + 1].set(
                         jnp.where(up_first, 0, 1))
-                    occ = occ.at[2 * site_k + 2].set(
+                    occ = occ.at[2 * site_l + 0].set(
                         jnp.where(up_first, 0, 1))
-                    occ = occ.at[2 * site_k + 3].set(
+                    occ = occ.at[2 * site_l + 1].set(
                         jnp.where(up_first, 1, 0))
                     return occ
 
-                def chan(amp, state1, sb):
-                    occp = occ_sprime(jnp.asarray(state1))
-                    sgn = _pair_op_sign(occp, site_i, site_i + 1,
-                                        site_k, site_k + 1, sa[i], sb)
+                def chan(amp, up_first, sb):
+                    occp = occ_sprime(jnp.asarray(up_first))
+                    sgn = _pair_op_sign(occp, site_i, site_j,
+                                        site_k, site_l, sa[i], sb)
                     # singlet coefficients: -1 for the (dn,up) members
                     coef_a = jnp.where(sa[i] == 0, 1.0, -1.0)
                     coef_b = jnp.where(sb == 0, 1.0, -1.0)
                     return 0.5 * coef_a * coef_b * sgn * amp
 
-                val = chan(amp_ud, 1, 0) + chan(amp_du, 2, 1)
+                val = chan(amp_ud, True, 0) + chan(amp_du, False, 1)
                 valid = b_valid[i] & bp_valid[k] & (k > i + 1)
                 safe = jnp.where(psi_ref == 0, 1.0, psi_ref)
                 out = jnp.where(valid, val / safe, 0.0)
@@ -167,5 +172,29 @@ def tj_singlet_pair_corr_row(tps, config, chi: int, trunc: TruncParams):
 
         return jax.vmap(for_i)(jnp.arange(nb))
 
-    return jax.vmap(per_row)(stacks.tops[:ly], stacks.bots[1:], tn, tps,
-                             config, jnp.arange(ly))
+    return jax.vmap(per_row)(stacks.tops[:ly], stacks.bots[1:], tn, tps_f,
+                             config_f, jnp.arange(ly))
+
+
+def tj_singlet_pair_corr_row(tps, config, chi: int, trunc: TruncParams):
+    """<Delta^dag_{(y,i)} Delta_{(y,k)}> estimator table [Ly, Lx-1, Lx-1]
+    (horizontal bonds at columns i and k of the same row; zero unless
+    k > i+1 and the sample supports the transition)."""
+    lx = tps.shape[1]
+    occ_s = _occ_vector(config, lx)
+    return _pair_corr_frame(tps, config, occ_s, chi, trunc,
+                            stride_row=lx, stride_pos=1)
+
+
+def tj_singlet_pair_corr_col(tps, config, chi: int, trunc: TruncParams):
+    """<Delta^dag Delta> for VERTICAL bond pairs in the same column:
+    table [Lx, Ly-1, Ly-1], entry (x, i, k) pairs vertical bonds
+    ((i,x),(i+1,x)) and ((k,x),(k+1,x)). Computed on the diagonal-reflected
+    lattice (columns become walker rows); operator signs stay in the
+    original row-major mode order, so the value matches the row-frame
+    convention (reference: the mixin's vertical-bond geometries,
+    singlet_pair_correlation_measurement_mixin.h)."""
+    lx = tps.shape[1]
+    occ_s = _occ_vector(config, lx)
+    return _pair_corr_frame(transpose_tps(tps), config.T, occ_s, chi, trunc,
+                            stride_row=1, stride_pos=lx)

@@ -152,17 +152,25 @@ def fermion_registry(ft, params) -> list:
                 _diag_map(docc), site_coords, ("y", "x")))
     if getattr(params, "measure_pair_corr", False) and not ft.spinless \
             and d == 3:
-        from peps_tpu.algorithm.measure_fermion import \
-            tj_singlet_pair_corr_row
+        from peps_tpu.algorithm.measure_fermion import (
+            tj_singlet_pair_corr_col, tj_singlet_pair_corr_row)
 
         def pair_corr(ctx):
             return jnp.real(tj_singlet_pair_corr_row(
+                ctx.tps, ctx.config, ctx.chi, ctx.trunc))
+
+        def pair_corr_c(ctx):
+            return jnp.real(tj_singlet_pair_corr_col(
                 ctx.tps, ctx.config, ctx.chi, ctx.trunc))
 
         obs.append(Observable(
             "pair_corr_row", "t-J singlet pair correlation "
             "<Delta^dag_i Delta_j> (in-row horizontal bond pairs)",
             pair_corr, None, ("y", "x1", "x2"), needs_envs=True))
+        obs.append(Observable(
+            "pair_corr_col", "t-J singlet pair correlation "
+            "<Delta^dag_i Delta_j> (in-column vertical bond pairs)",
+            pair_corr_c, None, ("x", "y1", "y2"), needs_envs=True))
     return obs
 
 
