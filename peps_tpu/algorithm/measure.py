@@ -176,9 +176,27 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
     else:
         registry = []
     if periodic or graded:
-        # walker scans assume OBC bosonic environments (the graded state's
-        # pair correlators need graded walkers — future work)
+        # walker scans assume OBC bosonic environments
         registry = [ob for ob in registry if not ob.needs_envs]
+    if graded and getattr(params, "measure_pair_corr", False) \
+            and not mt.ft.spinless and d == 3:
+        # graded-state pair correlators: batched full recomputes of the
+        # dressed projected network with snake-order operator signs
+        from peps_tpu.algorithm.measure_fermion import \
+            tj_singlet_pair_corr_graded
+        from peps_tpu.algorithm.registry import Observable
+        registry.append(Observable(
+            "pair_corr_row", "t-J singlet pair correlation (graded state, "
+            "in-row horizontal bond pairs)",
+            lambda ctx: tj_singlet_pair_corr_graded(
+                ctx.tps, ctx.config, mt.space, ctx.chi, ctx.trunc, "row"),
+            None, ("y", "x1", "x2")))
+        registry.append(Observable(
+            "pair_corr_col", "t-J singlet pair correlation (graded state, "
+            "in-column vertical bond pairs)",
+            lambda ctx: tj_singlet_pair_corr_graded(
+                ctx.tps, ctx.config, mt.space, ctx.chi, ctx.trunc, "col"),
+            None, ("x", "y1", "y2")))
     nc = configs.shape[0]
     tps_t = transpose_tps(tps)
 

@@ -186,6 +186,102 @@ def tj_singlet_pair_corr_row(tps, config, chi: int, trunc: TruncParams):
                             stride_row=lx, stride_pos=1)
 
 
+def tj_singlet_pair_corr_graded(tps, config, space, chi: int,
+                                trunc: TruncParams, frame: str = "row"):
+    """<Delta^dag Delta> estimator on a Z2-GRADED t-J state.
+
+    The graded state's amplitudes are defined in the snake-order JW basis
+    (peps_tpu.fermion.exact), so operator signs are counted in snake mode
+    order and amplitude ratios come from batched full recomputes of the
+    dressed projected network (fermion_project) — the graded analogue of
+    the walker scans (env-shared graded walkers are a later optimization).
+
+    frame="row": horizontal bond pairs, table [Ly, Lx-1, Lx-1];
+    frame="col": vertical bond pairs, table [Lx, Ly-1, Ly-1]."""
+    from peps_tpu.fermion.exact import snake_order
+    from peps_tpu.fermion.vmc import log_abs_psi_fermion
+
+    ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
+    assert d == 3, "t-J basis (0=empty, 1=up, 2=down) required"
+    pos_np = np.zeros((ly, lx), np.int32)
+    for p, (y, x) in enumerate(snake_order(ly, lx)):
+        pos_np[y, x] = p
+    pos = jnp.asarray(pos_np)
+
+    if frame == "row":
+        nrows, nb = ly, lx - 1
+        def sites(r, i):            # bond i of line r -> two (y, x) pairs
+            return (r, i), (r, i + 1)
+    else:
+        nrows, nb = lx, ly - 1
+        def sites(r, i):
+            return (i, r), (i + 1, r)
+
+    log0, mant0 = log_abs_psi_fermion(tps, config, space, chi, trunc)
+    rdt = tps.real.dtype if jnp.iscomplexobj(tps) else tps.dtype
+
+    def phase(m):
+        if jnp.iscomplexobj(m):
+            return m / jnp.maximum(jnp.abs(m), jnp.finfo(rdt).tiny)
+        return jnp.sign(m)
+
+    ph0 = phase(mant0)
+    inv_ph0 = jnp.conj(ph0) if jnp.iscomplexobj(mant0) else ph0
+
+    # snake-order mode occupations of the sample
+    n_up = jnp.asarray(_N_UP)[config]
+    n_dn = jnp.asarray(_N_DN)[config]
+    occ_s = jnp.zeros((2 * ly * lx,), jnp.int32)
+    occ_s = occ_s.at[2 * pos.reshape(-1)].set(
+        n_up.reshape(-1).astype(jnp.int32))
+    occ_s = occ_s.at[2 * pos.reshape(-1) + 1].set(
+        n_dn.reshape(-1).astype(jnp.int32))
+
+    r_idx, i_idx, k_idx, ch_idx = jnp.meshgrid(
+        jnp.arange(nrows), jnp.arange(nb), jnp.arange(nb), jnp.arange(2),
+        indexing="ij")
+    flat = (r_idx.reshape(-1), i_idx.reshape(-1), k_idx.reshape(-1),
+            ch_idx.reshape(-1))
+
+    def one(r, i, k, ch):
+        (y1, x1), (y2, x2) = sites(r, i)
+        (y3, x3), (y4, x4) = sites(r, k)
+        c_i, c_j = config[y1, x1], config[y2, x2]
+        c_k, c_l = config[y3, x3], config[y4, x4]
+        pair_ud = (c_i == 1) & (c_j == 2)
+        pair_du = (c_i == 2) & (c_j == 1)
+        valid = (pair_ud | pair_du) & (c_k == 0) & (c_l == 0) & (k > i + 1)
+        sa = jnp.where(pair_du, 1, 0)
+        # channel ch: 0 -> (up, dn) at b', 1 -> (dn, up)
+        s1 = jnp.where(ch == 0, 1, 2)
+        s2 = jnp.where(ch == 0, 2, 1)
+        cfg_p = config.at[y1, x1].set(0).at[y2, x2].set(0) \
+                      .at[y3, x3].set(s1).at[y4, x4].set(s2)
+        la, mant = log_abs_psi_fermion(tps, cfg_p, space, chi, trunc)
+        ratio = phase(mant) * inv_ph0 * jnp.exp(jnp.minimum(la - log0, 60.0))
+        # snake-order parity counting on occ(s')
+        p_i, p_j = pos[y1, x1], pos[y2, x2]
+        p_k, p_l = pos[y3, x3], pos[y4, x4]
+        up_first = ch == 0
+        occ = occ_s
+        occ = occ.at[2 * p_i].set(0).at[2 * p_i + 1].set(0)
+        occ = occ.at[2 * p_j].set(0).at[2 * p_j + 1].set(0)
+        occ = occ.at[2 * p_k].set(jnp.where(up_first, 1, 0))
+        occ = occ.at[2 * p_k + 1].set(jnp.where(up_first, 0, 1))
+        occ = occ.at[2 * p_l].set(jnp.where(up_first, 0, 1))
+        occ = occ.at[2 * p_l + 1].set(jnp.where(up_first, 1, 0))
+        sgn = _pair_op_sign(occ, p_i, p_j, p_k, p_l, sa,
+                            jnp.where(up_first, 0, 1))
+        coef_a = jnp.where(sa == 0, 1.0, -1.0)
+        coef_b = jnp.where(up_first, 1.0, -1.0)
+        val = 0.5 * coef_a * coef_b * sgn.astype(ratio.dtype) * ratio
+        return jnp.where(valid, jnp.real(val), 0.0)
+
+    vals = jax.lax.map(lambda args: one(*args), flat, batch_size=64)
+    table = vals.reshape(nrows, nb, nb, 2).sum(-1)
+    return table
+
+
 def tj_singlet_pair_corr_col(tps, config, chi: int, trunc: TruncParams):
     """<Delta^dag Delta> for VERTICAL bond pairs in the same column:
     table [Lx, Ly-1, Ly-1], entry (x, i, k) pairs vertical bonds

@@ -80,6 +80,117 @@ def test_pair_corr_matches_ed():
             assert abs(want) > 1e-12, "trivially-zero oracle"
 
 
+def _graded_pair_corr_oracle(c, config, sites4, snake_pos):
+    """O(s) for one bond pair on a graded state: independent oracle using
+    the exact snake-order coefficient tensor + numpy mode algebra."""
+    (y1, x1), (y2, x2), (y3, x3), (y4, x4) = sites4
+    ly, lx = config.shape
+    from peps_tpu.fermion.exact import snake_order
+    seq = snake_order(ly, lx)
+
+    def mode(y, x, sp):
+        return 2 * snake_pos[y, x] + sp
+
+    c_i, c_j = config[y1, x1], config[y2, x2]
+    if (c_i, c_j) == (1, 2):
+        sa, ca = 0, 1.0
+    elif (c_i, c_j) == (2, 1):
+        sa, ca = 1, -1.0
+    else:
+        return 0.0
+    if config[y3, x3] != 0 or config[y4, x4] != 0:
+        return 0.0
+    digits = tuple(int(config[y, x]) for (y, x) in seq)
+    amp_s = c[digits]
+    total = 0.0
+    for sb, cb, s1, s2 in ((0, 1.0, 1, 2), (1, -1.0, 2, 1)):
+        cfg_p = np.array(config)
+        cfg_p[y1, x1] = 0
+        cfg_p[y2, x2] = 0
+        cfg_p[y3, x3] = s1
+        cfg_p[y4, x4] = s2
+        occ_p = _config_to_occ(cfg_p, N_UP, N_DN, False, order="snake")
+        ops = [("cdag", mode(y2, x2, 1 - sa)),
+               ("cdag", mode(y1, x1, sa)),
+               ("c", mode(y3, x3, sb)),
+               ("c", mode(y4, x4, 1 - sb))]
+        r = _apply_ops(occ_p, ops)
+        if r is None:
+            continue
+        sgn, occ_out = r
+        digits_p = tuple(int(cfg_p[y, x]) for (y, x) in seq)
+        total += 0.5 * ca * cb * sgn * float(c[digits_p]) / float(amp_s)
+    return total
+
+
+def test_pair_corr_graded_matches_exact():
+    """Graded-state pair correlator per-sample values vs the exact
+    snake-order coefficient tensor (the graded amplitude DEFINITION)."""
+    from peps_tpu.algorithm.measure_fermion import tj_singlet_pair_corr_graded
+    from peps_tpu.fermion.exact import exact_coefficients, snake_order
+    from peps_tpu.models.fermion import tj_model
+    from tests.test_fermion_vmc import su_state
+
+    model = tj_model(t=3.0, j=1.0)
+    chi = 16
+    tp = TruncParams(chi, 1, 0.0)
+
+    # --- row frame on 2x4 ---
+    ly, lx = 2, 4
+    occ0 = np.array([[1, 2, 0, 0], [2, 1, 0, 0]])
+    tps, space = su_state(model, ly, lx, 4, occ0, sched=((40, 0.15),))
+    c = np.asarray(exact_coefficients(tps, space.phys_parity,
+                                      space.bond_parity))
+    snake_pos = np.zeros((ly, lx), int)
+    for p, (y, x) in enumerate(snake_order(ly, lx)):
+        snake_pos[y, x] = p
+    cfgs = [np.array([[1, 2, 0, 0], [2, 1, 0, 0]]),
+            np.array([[2, 1, 0, 0], [1, 0, 2, 0]]),
+            np.array([[0, 1, 2, 0], [1, 2, 0, 0]])]
+    checked = 0
+    for cfg in cfgs:
+        table = np.asarray(tj_singlet_pair_corr_graded(
+            tps, jnp.asarray(cfg), space, chi, tp, "row"))
+        for y in range(ly):
+            for i in range(lx - 1):
+                for k in range(i + 2, lx - 1):
+                    want = _graded_pair_corr_oracle(
+                        c, cfg, ((y, i), (y, i + 1), (y, k), (y, k + 1)),
+                        snake_pos)
+                    assert abs(table[y, i, k] - want) < 1e-7 * max(
+                        1.0, abs(want)), (y, i, k, table[y, i, k], want)
+                    if abs(want) > 1e-10:
+                        checked += 1
+    assert checked >= 2, "oracle trivially zero everywhere"
+
+    # --- col frame on 4x2 ---
+    ly, lx = 4, 2
+    occ0 = np.array([[1, 0], [2, 0], [2, 0], [1, 0]])
+    tps, space = su_state(model, ly, lx, 4, occ0, sched=((40, 0.15),))
+    c = np.asarray(exact_coefficients(tps, space.phys_parity,
+                                      space.bond_parity))
+    snake_pos = np.zeros((ly, lx), int)
+    for p, (y, x) in enumerate(snake_order(ly, lx)):
+        snake_pos[y, x] = p
+    cfgs = [np.array([[1, 0], [2, 0], [0, 2], [0, 1]]),
+            np.array([[2, 0], [1, 0], [0, 1], [0, 2]])]
+    checked = 0
+    for cfg in cfgs:
+        table = np.asarray(tj_singlet_pair_corr_graded(
+            tps, jnp.asarray(cfg), space, chi, tp, "col"))
+        for x in range(lx):
+            for i in range(ly - 1):
+                for k in range(i + 2, ly - 1):
+                    want = _graded_pair_corr_oracle(
+                        c, cfg, ((i, x), (i + 1, x), (k, x), (k + 1, x)),
+                        snake_pos)
+                    assert abs(table[x, i, k] - want) < 1e-7 * max(
+                        1.0, abs(want)), (x, i, k, table[x, i, k], want)
+                    if abs(want) > 1e-10:
+                        checked += 1
+    assert checked >= 1, "oracle trivially zero everywhere"
+
+
 def test_pair_corr_col_matches_ed():
     """Vertical-bond pairs in one column (transposed-frame walker) vs ED."""
     ly, lx = 4, 2
