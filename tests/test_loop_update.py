@@ -77,7 +77,7 @@ def test_loop_update_long_evolution_reaches_su_quality():
                                             trunc=TruncParams(D, 1, 1e-12)))
     out = loop_update(warm.peps, model.h_h, model.h_v,
                       LoopUpdateParams(steps=120, tau=0.05, bond_dim=D,
-                                       fet_sweeps=2, fet_cg_iters=25,
+                                       fet_sweeps=1, fet_cg_iters=25,
                                        fet_alternations=2))
     e_loop = energy_of_tps(np.asarray(to_tps(out.peps)), model)
     e_ed = ground_energy(model, ly, lx)
