@@ -290,6 +290,25 @@ def _pair_pass(tps, tn, config, h_v, h_d, h_ad, stacks, h_s5=None):
     return jnp.sum(es)
 
 
+def _bond_pass(tps, tn, config, h_bond, stacks):
+    """In-row NN bond energies only (no holes / one-site tables): the light
+    kernel behind the transposed-frame vertical-bond fast path."""
+    ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
+
+    def per_row(top, bot, row, row_cands):
+        envs = bmps.row_envs(top, bot, row)
+        return bmps.replace_nn_site_traces(envs, top, bot,
+                                           row_cands[:lx - 1], row_cands[1:])
+
+    nn = jax.vmap(per_row)(stacks.tops[:ly], stacks.bots[1:], tn, tps)
+    c1, c2 = config[:, :lx - 1], config[:, 1:]
+    psi_b = jnp.take_along_axis(
+        jnp.take_along_axis(nn, c1[:, :, None, None], axis=2).squeeze(2),
+        c2[:, :, None], axis=2).squeeze(2)
+    safe_b = jnp.where(psi_b == 0, 1.0, psi_b)
+    return jnp.sum(h_bond[c1, c2] * nn / safe_b[:, :, None, None])
+
+
 def _tnn_row_pass(tps, tn, config, h_tnn, stacks):
     """Third-NN in-row bond energies ((y,x)-(y,x+2)) from single-row
     sandwiches (reference: ReplaceTNNSiteTrace, bmps_contractor.h:904)."""
@@ -339,7 +358,21 @@ def local_energy_and_holes(tps: jnp.ndarray, config: jnp.ndarray,
         hrows = model.h_site[config]          # [Ly, Lx, d]
         e = e + jnp.sum(hrows * ratio1)
 
-    if (model.h_v is not None) or (model.h_d is not None) \
+    only_v = (model.h_v is not None) and (model.h_d is None) \
+        and (model.h_ad is None) and (model.h_s5a is None)
+    if only_v:
+        # vertical bonds via the TRANSPOSED row pass: with the implicit
+        # sketch absorb, a second (column) env-stack build is cheaper than
+        # the two-row BTen2 transfers + pair tables (measured 0.16s vs
+        # 0.39s per 32-chain eval at 8x8 D=8 chi=32). Diagonal models
+        # still take the BTen2 route below.
+        from peps_tpu.lattice import transpose_tps
+        tps_t = transpose_tps(tps)
+        cfg_t = config.T
+        tn_t = project(tps_t, cfg_t)
+        stacks_t = bmps.all_env_stacks(tn_t, chi, trunc)
+        e = e + _bond_pass(tps_t, tn_t, cfg_t, model.h_v, stacks_t)
+    elif (model.h_v is not None) or (model.h_d is not None) \
             or (model.h_ad is not None) or (model.h_s5a is not None):
         e = e + _pair_pass(tps, tn, config, model.h_v, model.h_d, model.h_ad,
                            stacks, h_s5=model.h_s5a)
