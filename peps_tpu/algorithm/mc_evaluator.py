@@ -55,7 +55,7 @@ def _mc_collect(tps, configs, key, model: ModelTensors, chi, trunc, rule,
     nc = configs.shape[0]
     periodic = bc == BoundaryCondition.PERIODIC
 
-    def sweep_all(configs, key):
+    def sweep_all(configs, key, bots=None):
         keys = jax.random.split(key, nc + 1)
         if graded:
             cfgs, _, stats = jax.vmap(
@@ -65,62 +65,94 @@ def _mc_collect(tps, configs, key, model: ModelTensors, chi, trunc, rule,
             cfgs, _, stats = jax.vmap(
                 mc_sweep_pbc, in_axes=(None, 0, 0, None, None, None))(
                 tps, configs, keys[1:], chi, trunc, rule)
+        elif bots is not None:
+            cfgs, _, stats = jax.vmap(
+                mc_sweep,
+                in_axes=(None, None, 0, 0, None, None, None, None, 0))(
+                tps, tps_t, configs, keys[1:], chi, trunc, rule, None, bots)
         else:
             cfgs, _, stats = jax.vmap(
                 mc_sweep, in_axes=(None, None, 0, 0, None, None, None))(
                 tps, tps_t, configs, keys[1:], chi, trunc, rule)
         return cfgs, keys[0], stats
 
+    if graded:
+        local = local_energy_and_holes_graded
+    elif isinstance(model, FermionTensors):
+        local = local_energy_and_holes_fermion
+    elif periodic:
+        local = local_energy_and_holes_pbc
+    else:
+        local = local_energy_and_holes
+    # Bosonic OBC path: env stacks are computed for ALL chains in one
+    # vmapped pass (absorbs at full batch run ~2x faster than chunked),
+    # threaded into the (possibly chunked) table passes, AND the bottom
+    # stacks are carried into the NEXT step's first sweep — the pre-sweep
+    # network is exactly the network the evaluator just built stacks for
+    # (reference analogue: the sweep updaters' env reuse schedule).
+    use_bots = local is local_energy_and_holes
+
     def eval_all(configs):
-        if graded:
-            local = local_energy_and_holes_graded
-        elif isinstance(model, FermionTensors):
-            local = local_energy_and_holes_fermion
-        elif periodic:
-            local = local_energy_and_holes_pbc
-        else:
-            local = local_energy_and_holes
         fn = lambda c: local(tps, c, model, chi, trunc,
                              with_holes=with_grad)
-        if eval_chunk is None:
-            return jax.vmap(fn)(configs)
-        # memory-bounded evaluation: the holes/pair-table intermediates of a
-        # full chain-batched vmap can exceed HBM at production sizes (8x8,
-        # D=8, chi=32); lax.map with a batch keeps peak memory flat.
-        # Env stacks are computed for ALL chains vmapped first (absorbs at
-        # full batch run ~2x faster than chunked) and threaded through.
-        if local is local_energy_and_holes:
+        if use_bots:
             from peps_tpu.contraction import bmps as _bmps
             from peps_tpu.tps import project as _project
             stacks = jax.vmap(lambda c: _bmps.all_env_stacks(
                 _project(tps, c), chi, trunc))(configs)
             fn2 = lambda args: local(tps, args[0], model, chi, trunc,
                                      with_holes=with_grad, stacks=args[1])
-            return jax.lax.map(fn2, (configs, stacks),
-                               batch_size=eval_chunk)
-        return jax.lax.map(fn, configs, batch_size=eval_chunk)
+            if eval_chunk is None:
+                res = jax.vmap(lambda c, st: local(
+                    tps, c, model, chi, trunc, with_holes=with_grad,
+                    stacks=st))(configs, stacks)
+            else:
+                res = jax.lax.map(fn2, (configs, stacks),
+                                  batch_size=eval_chunk)
+            return res, stacks.bots
+        if eval_chunk is None:
+            return jax.vmap(fn)(configs), None
+        # memory-bounded evaluation: the holes/pair-table intermediates of a
+        # full chain-batched vmap can exceed HBM at production sizes (8x8,
+        # D=8, chi=32); lax.map with a batch keeps peak memory flat.
+        return jax.lax.map(fn, configs, batch_size=eval_chunk), None
 
     def step(carry, _):
-        configs, key, acc, tri = carry
-        for _ in range(sweeps_between):
-            configs, key, stats = sweep_all(configs, key)
+        configs, key, acc, tri, bots = carry
+        for i in range(sweeps_between):
+            configs, key, stats = sweep_all(configs, key,
+                                            bots if i == 0 else None)
             acc = acc + jnp.sum(stats.accepted).astype(acc.dtype)
             tri = tri + jnp.sum(stats.trials).astype(tri.dtype)
-        res = eval_all(configs)
+        res, bots = eval_all(configs)
         if not with_grad:
             out = (res.e_loc, None, None, None, res.log_abs_psi)
-            return (configs, key, acc, tri), out
+            return (configs, key, acc, tri, bots), out
         o_flat = res.o_tensor.reshape(nc, -1)
         out = (res.e_loc, o_flat if with_sr else None,
                jnp.sum(jnp.conj(o_flat), axis=0),
                None if with_sr else
                jnp.sum(res.e_loc[:, None] * jnp.conj(o_flat), axis=0),
                res.log_abs_psi)
-        return (configs, key, acc, tri), out
+        return (configs, key, acc, tri, bots), out
 
-    init = (configs, key, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-    (configs, key, acc, tri), outs = jax.lax.scan(step, init, None,
-                                                  length=n_samples)
+    if use_bots:
+        # initial bottom stacks of the starting configurations (one vmapped
+        # flipped-top build; keeps the scan carry shape static)
+        from peps_tpu.contraction import bmps as _bmps
+        from peps_tpu.tps import project as _project
+
+        def _bots_of(c):
+            ftops, _ = _bmps.all_top_envs(
+                _bmps.flip_vertical(_project(tps, c)), chi, trunc)
+            return ftops[::-1]
+        bots0 = jax.vmap(_bots_of)(configs)
+    else:
+        bots0 = None
+    init = (configs, key, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+            bots0)
+    (configs, key, acc, tri, _), outs = jax.lax.scan(step, init, None,
+                                                     length=n_samples)
     return configs, key, acc, tri, outs
 
 

@@ -90,18 +90,23 @@ class SweepStats(NamedTuple):
 
 
 def _sweep_rows(tps, config, key, chi, trunc: TruncParams, rule: UpdateRule,
-                dress=None):
+                dress=None, bots=None):
     """One pass over all horizontal bonds. Returns (config', key', stats).
 
     dress: optional JastrowDress — amplitude ratios pick up the dress factor
-    (reference: Jastrow-dressed t-J exchange, square_nn_updater.h:380)."""
+    (reference: Jastrow-dressed t-J exchange, square_nn_updater.h:380).
+    bots: optional precomputed bottom env stack [Ly+1, Lx, chi, D, chi] of
+    the PRE-sweep network (e.g. the evaluator's stacks.bots from the same
+    configuration — saves Ly BMPS absorbs per sweep)."""
     ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
     dtype = tps.dtype
     tn = project(tps, config)
-    # bottom environment stack from the pre-sweep network (rows below the
-    # current row are untouched when we reach it, so these stay valid).
-    fstacks, _ = bmps.all_top_envs(bmps.flip_vertical(tn), chi, trunc)
-    bots = fstacks[::-1]       # bots[y] closes rows y..Ly-1
+    if bots is None:
+        # bottom environment stack from the pre-sweep network (rows below
+        # the current row are untouched when we reach it, so these stay
+        # valid).
+        fstacks, _ = bmps.all_top_envs(bmps.flip_vertical(tn), chi, trunc)
+        bots = fstacks[::-1]   # bots[y] closes rows y..Ly-1
     cmask = rule.mask_array(d)
     if dress is not None:
         nv = dress.nvals
@@ -192,14 +197,16 @@ def _transpose_dress(dress, ly, lx):
 
 
 def mc_sweep(tps, tps_t, config, key, chi, trunc: TruncParams,
-             rule: UpdateRule, dress=None):
+             rule: UpdateRule, dress=None, bots=None):
     """One full MC sweep: horizontal bonds then vertical bonds (via the
     diagonal-reflected lattice). tps_t = transpose_tps(tps) (precomputed).
-    Optional Jastrow dress multiplies all amplitude ratios.
+    Optional Jastrow dress multiplies all amplitude ratios. bots: optional
+    precomputed bottom env stack of the pre-sweep network (see _sweep_rows).
 
     Returns (config', key', SweepStats)."""
     ly, lx = config.shape
-    config, key, st_h = _sweep_rows(tps, config, key, chi, trunc, rule, dress)
+    config, key, st_h = _sweep_rows(tps, config, key, chi, trunc, rule, dress,
+                                    bots=bots)
     dress_t = _transpose_dress(dress, ly, lx)
     cfg_t, key, st_v = _sweep_rows(tps_t, config.T, key, chi, trunc, rule,
                                    dress_t)
