@@ -191,6 +191,33 @@ def test_pair_corr_graded_matches_exact():
     assert checked >= 1, "oracle trivially zero everywhere"
 
 
+def test_graded_measure_pair_corr_wiring():
+    """measure() on a graded t-J state with measure_pair_corr=True exposes
+    finite pair_corr_row/col statistics (end-to-end registry wiring)."""
+    from peps_tpu.algorithm.measure import MeasurementParams, measure
+    from peps_tpu.fermion.vmc import GradedFermionModel
+    from peps_tpu.models.fermion import tj_model
+    from peps_tpu.montecarlo.engine import init_configs_occupancy
+    from peps_tpu.montecarlo.sweep import UpdateRule
+    from tests.test_fermion_vmc import su_state
+
+    model = tj_model(t=3.0, j=1.0)
+    ly, lx, chi = 2, 4, 8
+    occ0 = np.array([[1, 2, 0, 0], [2, 1, 0, 0]])
+    tps, space = su_state(model, ly, lx, 3, occ0, sched=((30, 0.2),))
+    gm = GradedFermionModel.from_model(model, space, tps.dtype)
+    cfgs = init_configs_occupancy(jax.random.PRNGKey(0), 4, ly, lx,
+                                  {0: 4, 1: 2, 2: 2})
+    mp = MeasurementParams(num_samples=3, num_warmup_sweeps=3, nchains=4,
+                           measure_pair_corr=True)
+    m = measure(tps, gm, mp, chi, TruncParams(chi, 1, 0.0),
+                UpdateRule("exchange"), cfgs, jax.random.PRNGKey(1))
+    assert "pair_corr_row" in m.stats and "pair_corr_col" in m.stats
+    pr = np.asarray(m.stats["pair_corr_row"][0])
+    assert pr.shape == (ly, lx - 1, lx - 1)
+    assert np.all(np.isfinite(pr))
+
+
 def test_pair_corr_col_matches_ed():
     """Vertical-bond pairs in one column (transposed-frame walker) vs ED."""
     ly, lx = 4, 2
