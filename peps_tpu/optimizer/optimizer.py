@@ -144,6 +144,12 @@ class OptimizerParams:
     log_path: str | None = None            # JSONL per-iteration records
     trajectory_csv: str | None = None      # energy trajectory CSV
     should_stop: Callable | None = None    # (iteration record) -> bool
+    # Profiler hook (reference: QLPEPS_TIMING_MODE Timer scopes, SURVEY
+    # §5.1): capture a device trace of iterations [profile_start,
+    # profile_stop) into profile_dir, viewable with xprof/tensorboard.
+    profile_dir: str | None = None
+    profile_start: int = 1
+    profile_stop: int = 3
 
     def lr_at(self, step: int, energy=None) -> float:
         if isinstance(self.lr, (int, float)):
@@ -445,7 +451,15 @@ def iterative_optimize(state: jnp.ndarray,
             spike_f.flush()
 
     nat_x0 = None
+    profiling = False
     for step in range(params.max_iters):
+        if params.profile_dir is not None:
+            if step == params.profile_start and not profiling:
+                jax.profiler.start_trace(params.profile_dir)
+                profiling = True
+            elif step == params.profile_stop and profiling:
+                jax.profiler.stop_trace()
+                profiling = False
         t0 = time.time()
         ev = evaluate(state, step)
 
@@ -661,6 +675,8 @@ def iterative_optimize(state: jnp.ndarray,
         if params.should_stop is not None and params.should_stop(rec):
             break
 
+    if profiling:
+        jax.profiler.stop_trace()
     if log_f:
         log_f.close()
     if traj_f:
