@@ -33,8 +33,8 @@ from peps_tpu.contraction.pbc import (amplitude_pbc, contract_pbc,
                                       punch_all_holes_pbc)
 from peps_tpu.montecarlo.jastrow import JastrowDress
 from peps_tpu.montecarlo.engine import load_configs, save_configs
-from peps_tpu.tps import (load_tps, project, random_tps, save_tps,
-                          wavefunction_sum)
+from peps_tpu.tps import (expand_bond_dim, load_tps, project, random_tps,
+                          save_tps, wavefunction_sum)
 from peps_tpu.contraction.bmps import entanglement_entropy
 from peps_tpu.algorithm.registry import (Observable,
                                          structure_factor_spsm_row)
@@ -71,6 +71,7 @@ __all__ = [
     "fermion_simple_update", "to_tps_fermion", "fermion_project",
     "GradedFermionModel", "amplitude_fermion",
     "local_energy_and_holes_graded", "mc_sweep_fermion",
-    "wavefunction_sum", "entanglement_entropy", "Observable",
+    "wavefunction_sum", "expand_bond_dim", "entanglement_entropy",
+    "Observable",
     "structure_factor_spsm_row", "fermion_ratio_tables",
 ]

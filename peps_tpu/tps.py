@@ -204,3 +204,29 @@ def wavefunction_sum(a: jnp.ndarray, b: jnp.ndarray,
     from peps_tpu.lattice import boundary_mask
     mask = jnp.asarray(boundary_mask(ly, lx, d, dn), dtype=out.real.dtype)
     return out * mask
+
+
+def expand_bond_dim(tps: jnp.ndarray, new_bond_dim: int,
+                    noise: float = 0.0, key: jax.Array | None = None
+                    ) -> jnp.ndarray:
+    """Embed a TPS into a larger bond dimension (reference: qlten `Expand`
+    as used for D-increase workflows). Zero-pads every virtual leg to
+    new_bond_dim, preserving the represented state exactly; optional small
+    Gaussian noise on the new slots seeds the enlarged variational space
+    (noise is masked off boundary legs so the padded-at-index-0 convention
+    is preserved)."""
+    ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
+    db = tps.shape[3]
+    assert new_bond_dim >= db, (new_bond_dim, db)
+    pad = new_bond_dim - db
+    out = jnp.pad(tps, ((0, 0), (0, 0), (0, 0)) + ((0, pad),) * 4)
+    if noise > 0.0:
+        assert key is not None, "noise > 0 needs a PRNG key"
+        from peps_tpu.lattice import boundary_mask
+        full = jax.random.normal(key, out.shape, out.dtype) * noise
+        keep_old = jnp.zeros(out.shape, bool)
+        keep_old = keep_old.at[:, :, :, :db, :db, :db, :db].set(True)
+        mask = jnp.asarray(boundary_mask(ly, lx, d, new_bond_dim),
+                           dtype=out.real.dtype)
+        out = out + jnp.where(keep_old, 0.0, full) * mask
+    return out
