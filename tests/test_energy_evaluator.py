@@ -95,3 +95,30 @@ def test_psi_consistency_monitor():
     cfg = jax.random.randint(jax.random.PRNGKey(10), (3, 3), 0, 2)
     rel, logs = psi_consistency_check(tps, cfg, 16, TruncParams(16, 1, 0.0))
     assert float(rel) < 1e-10, float(rel)
+
+
+@pytest.mark.fast
+def test_vertical_fast_path_matches_bten2():
+    """The transposed-frame vertical-bond fast path (taken when no diagonal
+    couplings are present) must agree with the two-row BTen2 route (forced
+    here by a zero diagonal coupling) to float precision."""
+    import dataclasses
+    import jax
+    from peps_tpu.algorithm.energy import local_energy_and_holes
+    from peps_tpu.tps import random_tps
+
+    model = spin.heisenberg(1.0)
+    mt = ModelTensors.from_model(model, jnp.float64)
+    mt_bten2 = mt._replace(h_d=jnp.zeros_like(mt.h_h))  # forces BTen2 route
+    tps = random_tps(jax.random.PRNGKey(11), 3, 4, 2, 3,
+                     dtype=jnp.float64, scale=0.7)
+    chi = 12
+    tp = TruncParams(chi, 1, 0.0)
+    for seed in range(3):
+        cfg = jax.random.randint(jax.random.PRNGKey(seed), (3, 4), 0, 2)
+        e_fast = float(local_energy_and_holes(tps, cfg, mt, chi, tp,
+                                              with_holes=False).e_loc)
+        e_bt2 = float(local_energy_and_holes(tps, cfg, mt_bten2, chi, tp,
+                                             with_holes=False).e_loc)
+        assert abs(e_fast - e_bt2) < 1e-9 * max(1.0, abs(e_bt2)), \
+            (seed, e_fast, e_bt2)
