@@ -34,7 +34,12 @@ class MCParams:
     num_warmup_sweeps: int = 100
     sweeps_between_samples: int = 1
     nchains: int = 64
-    eval_chunk: int | None = None   # chain batch for energy/holes (memory)
+    # chain batch for the energy/hole table passes (memory bound). Note: on
+    # the bosonic OBC path the env stacks (tops+bots+logs) are still built
+    # at FULL chain batch and the bots ride in the scan carry — chunking
+    # bounds only the table/hole intermediates, not the stack storage
+    # (full-batch absorbs measured ~2x faster than chunked ones).
+    eval_chunk: int | None = None
 
 
 @partial(jax.jit, static_argnames=("chi", "trunc", "rule",
@@ -189,6 +194,11 @@ def mc_energy_grad(tps, configs, key, model: ModelTensors, chi: int,
     s, c = e_locs.shape
     n = s * c
     energy, err = mean_and_binned_error(jnp.real(e_locs))
+    # surfaced in the optimizer JSONL (reference analogue: non-finite
+    # energy-sample scan, mc_energy_grad_evaluator.h:437-470); a NaN here
+    # usually means a compression fallback produced a non-finite amplitude
+    nonfinite = int(jnp.sum(~jnp.isfinite(jnp.real(e_locs))))
+    aux = {"nonfinite_samples": nonfinite} if nonfinite else None
 
     if with_sr_buffers:
         o_flat = o_full.reshape(n, -1)
@@ -202,7 +212,7 @@ def mc_energy_grad(tps, configs, key, model: ModelTensors, chi: int,
             grad = jnp.real(grad)
         grad = grad.reshape(tps.shape).astype(tps.dtype)
         ev = Evaluation(energy, grad, err, a, eps,
-                        acc / jnp.maximum(tri, 1))
+                        acc / jnp.maximum(tri, 1), aux)
     else:
         oconj_bar = jnp.sum(o_sum, axis=0) / n      # <conj(O)>
         eo_bar = jnp.sum(eo_sum, axis=0) / n        # <E_loc conj(O)>
@@ -211,5 +221,5 @@ def mc_energy_grad(tps, configs, key, model: ModelTensors, chi: int,
             grad = 2.0 * jnp.real(grad)
         grad = grad.reshape(tps.shape).astype(tps.dtype)
         ev = Evaluation(energy, grad, err, None, None,
-                        acc / jnp.maximum(tri, 1))
+                        acc / jnp.maximum(tri, 1), aux)
     return ev, configs, key, log_psi

@@ -156,8 +156,6 @@ def absorb_row(bmps: jnp.ndarray, row: jnp.ndarray, chi: int,
         return compress_variational(grown, chi, trunc, two_site=False)
     if trunc.scheme == "fast":
         return compress_fast(grown, chi, trunc, power_iters=trunc.rsvd_power)
-    if trunc.scheme == "sketch":
-        return compress_sketch(grown, chi, trunc)
     return compress(grown, chi, trunc)
 
 

@@ -131,7 +131,8 @@ def _replaced_ratio_tables(tps, config, space, chi, trunc, log0, mant0):
         return phase(mant) * inv_ph0 * jnp.exp(jnp.minimum(la - log0, 60.0))
 
     ab = jnp.stack(jnp.meshgrid(jnp.arange(d), jnp.arange(d),
-                                indexing="ij"), -1).reshape(-1, 2)
+                                indexing="ij"), -1).reshape(-1, 2) \
+        .astype(config.dtype)   # scatter values must match the config dtype
 
     def h_bond(y, x, a, b):
         return config.at[y, x].set(a).at[y, x + 1].set(b)

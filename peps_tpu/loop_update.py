@@ -326,6 +326,15 @@ class LoopUpdateParams:
     fet_cg_tol: float = 1e-10
     fet_alternations: int = 2
 
+    def __post_init__(self):
+        if self.fet_sweeps > 1:
+            import warnings
+            warnings.warn(
+                "LoopUpdateParams.fet_sweeps > 1 is ignored: a single "
+                "sequential CG-FET pass is performed (extra passes "
+                "re-truncate a weight-distorted state and lose fidelity)",
+                stacklevel=2)
+
 
 def _apply_plaquette_batch(sites, lambdas, gates: tuple, params):
     """sites: 4 x [N, p, u, l, d, r]; lambdas: dict of external + loop

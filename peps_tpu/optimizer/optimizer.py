@@ -151,6 +151,13 @@ class OptimizerParams:
     profile_start: int = 1
     profile_stop: int = 3
 
+    def __post_init__(self):
+        if self.profile_dir is not None and \
+                self.profile_stop <= self.profile_start:
+            raise ValueError(
+                f"profile_stop ({self.profile_stop}) must be > "
+                f"profile_start ({self.profile_start})")
+
     def lr_at(self, step: int, energy=None) -> float:
         if isinstance(self.lr, (int, float)):
             return float(self.lr)
@@ -457,7 +464,9 @@ def iterative_optimize(state: jnp.ndarray,
             if step == params.profile_start and not profiling:
                 jax.profiler.start_trace(params.profile_dir)
                 profiling = True
-            elif step == params.profile_stop and profiling:
+            # independent of the start branch: a stop index the loop never
+            # reaches is still closed by the stop_trace() after the loop
+            if step == params.profile_stop and profiling:
                 jax.profiler.stop_trace()
                 profiling = False
         t0 = time.time()
@@ -660,7 +669,10 @@ def iterative_optimize(state: jnp.ndarray,
                               sr_iters, sr_res, nat_norm, eval_s, upd_s)
         records.append(rec)
         if log_f:
-            log_f.write(json.dumps(rec._asdict()) + "\n")
+            d = rec._asdict()
+            if ev.aux:
+                d.update({k: v for k, v in ev.aux.items() if k not in d})
+            log_f.write(json.dumps(d) + "\n")
             log_f.flush()
         if traj_f:
             traj_f.write(f"{step},{energy!r},{err!r}\n")

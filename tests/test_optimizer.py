@@ -250,3 +250,48 @@ def test_spike_s4_energy_rollback_restores_moments():
     assert any(s == "S4" and a == "rollback"
                for _, s, a, _, _ in result.spike_events), result.spike_events
     assert result.energies[-1] < result.energies[0]
+
+
+def test_strong_wolfe_line_search_conditions():
+    """Unit test of the bracket+zoom search (optimizer_impl.h:1551 analogue):
+    on an analytic 1-D objective the returned alpha must satisfy BOTH strong
+    Wolfe conditions."""
+    p = opt.LBFGSParams(c1=1e-4, c2=0.9, max_eval=30)
+
+    # phi(a) = a^4 - a: descent at 0 (phi'(0) = -1), minimum at 4^{-1/3}
+    def phi(a):
+        return a ** 4 - a
+
+    def dphi(a):
+        return 4.0 * a ** 3 - 1.0
+
+    def eval_fg(a):
+        return phi(a), dphi(a), a
+
+    phi0, dphi0 = phi(0.0), dphi(0.0)
+    assert dphi0 < 0.0
+    for lr in (0.01, 0.1, 1.0, 10.0):
+        ok, alpha, a, n = opt._strong_wolfe(eval_fg, phi0, dphi0, lr, p)
+        assert ok, (lr, n)
+        assert phi(a) <= phi0 + p.c1 * a * dphi0 + 1e-12, (lr, a)
+        assert abs(dphi(a)) <= p.c2 * abs(dphi0) + 1e-12, (lr, a)
+
+    # non-descent direction is rejected outright
+    ok, _, _, _ = opt._strong_wolfe(eval_fg, phi0, +1.0, 0.1, p)
+    assert not ok
+
+
+def test_lbfgs_strong_wolfe_reaches_ed_energy():
+    """The DEFAULT L-BFGS path (strong-Wolfe gradient probes) on the
+    exact-sum evaluator: must descend close to the ED energy (reference:
+    StrongWolfeLBFGSStep_, optimizer_impl.h:1551)."""
+    mt, e_ed, tps, configs = setup()
+    params = opt.OptimizerParams(
+        max_iters=30,
+        algorithm=opt.LBFGSParams(line_search="strong_wolfe", history=10),
+        lr=0.05)
+    result = opt.iterative_optimize(tps, make_eval(mt, configs, False),
+                                    params)
+    e_start = result.energies[0]
+    assert result.lowest_energy < e_start - 0.6 * (e_start - e_ed), \
+        (e_start, result.lowest_energy, e_ed)

@@ -110,3 +110,31 @@ def test_fast_scheme_amplitude_accuracy():
     err_f = abs(float(mant_f) * np.exp(float(logw_f)) - want) / abs(want)
     err_s = abs(float(mant_s) * np.exp(float(logw_s)) - want) / abs(want)
     assert err_f < 3 * err_s + 1e-3, (err_f, err_s)
+
+
+@pytest.mark.fast
+def test_absorb_row_sketch_equals_unfused():
+    """The fused absorb (never materializing the grown MPS) represents the
+    SAME state as multiply_mpo -> compress_sketch: identical Gaussian mixing
+    blocks and bond pinv, only the contraction order differs (advisor
+    round-2 ask: pin the fused path to the unfused reference)."""
+    key = jax.random.PRNGKey(23)
+    lx, chi_in, du, dl, chi = 4, 5, 3, 3, 6
+    boundary = jax.random.normal(key, (lx, chi_in, du, chi_in), jnp.float64)
+    mask0 = jnp.zeros(chi_in).at[0].set(1.0)
+    boundary = boundary.at[0].multiply(mask0[:, None, None]) \
+        .at[lx - 1].multiply(mask0[None, None, :])
+    row = jax.random.normal(jax.random.fold_in(key, 1),
+                            (lx, du, dl, du, dl), jnp.float64)
+    mask0l = jnp.zeros(dl).at[0].set(1.0)
+    row = row.at[0].multiply(mask0l[None, :, None, None]) \
+        .at[lx - 1].multiply(mask0l[None, None, None, :])
+
+    tp = TruncParams(chi, 1, 0.0, scheme="sketch")
+    fused = bmps.absorb_row_sketch(boundary, row, chi, tp)
+    unfused = bmps.compress_sketch(bmps.multiply_mpo(boundary, row), chi, tp)
+
+    sf = _full_state(fused.bmps) * np.exp(float(fused.log_norm))
+    su = _full_state(unfused.bmps) * np.exp(float(unfused.log_norm))
+    scale = np.max(np.abs(su))
+    np.testing.assert_allclose(sf, su, atol=1e-9 * scale)
