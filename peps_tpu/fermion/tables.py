@@ -112,14 +112,80 @@ class FermionTables(NamedTuple):
     ratio_v: jnp.ndarray       # [Ly-1, Lx, d, d]
     log_abs_psi: jnp.ndarray
     psi_mant: jnp.ndarray
+    # NNN diagonal tables (None unless want_diag): ratio_d[y, x, a, b] with
+    # a at (y,x), b at (y+1,x+1); ratio_ad[y, x, a, b] with a at (y+1,x),
+    # b at (y,x+1) — reference ReplaceNNNSiteTrace (bmps_contractor.h:886)
+    ratio_d: jnp.ndarray | None = None
+    ratio_ad: jnp.ndarray | None = None
 
 
-def fermion_ratio_tables(tps, config, space: FermionSpace, chi, trunc
-                         ) -> FermionTables:
+def _diag_tables_pair(kind, even, lefts_n, rights_n, lefts_f, rights_f,
+                      lw_l_n, lw_r_n, lw_l_f, lw_r_f, top, bot,
+                      row1, row2, frow1, frow2, cand1, cand2, lx):
+    """Diagonal ("d": (y,x)-(y+1,x+1)) / anti-diagonal ("ad":
+    (y+1,x)-(y,x+1)) replacement tables for one row pair from the SAME four
+    env stacks the vertical tables use. Snake-interval analysis: replacing
+    the pair flips the snake prefix parity Pi on (kind="d", even rows)
+    row-1 cols > x and row-2 cols > x+1; (d, odd) row-1 cols < x and row-2
+    cols <= x; (ad, even) row-1 cols > x+1 and row-2 cols > x; (ad, odd)
+    row-1 cols <= x and row-2 cols < x. In every case the flipped region =
+    {one in-window current tensor} + {one full side of the two-row window},
+    so the normal/flipped left+right stacks plus the flip mask cover all
+    replacements. The flag f (= parity change of the JW-earlier candidate)
+    conditions the flip; the JW-later candidate carries flag f."""
+    nb = lx - 1
+    tl, bl = top[:nb], bot[:nb]
+    tr, br = top[1:], bot[1:]
+
+    def table_with(f):
+        use_lf = (f == 1) and not even
+        use_rf = (f == 1) and even
+        L = (lefts_f if use_lf else lefts_n)[:nb]
+        R = (rights_f if use_rf else rights_n)[2:]
+        if kind == "d":
+            r1a = cand1[:nb, :, 0]                       # candidate at i
+            r2a = (frow2 if (f == 1 and not even) else row2)[:nb]
+            r1c = (frow1 if (f == 1 and even) else row1)[1:]
+            r2c = cand2[1:, :, f]                        # candidate at j
+            t0 = jnp.einsum("xamnc,xauA->xmncuA", L, tl)
+            t = jnp.einsum("xmncuA,xpumdr->xpncAdr", t0, r1a)
+            t = jnp.einsum("xpncAdr,xdnef->xpcAref", t, r2a)
+            lblk = jnp.einsum("xpcAref,xceC->xpArfC", t, bl)
+            s0 = jnp.einsum("xauA,xArfC->xaurfC", tr, R)
+            s = jnp.einsum("xaurfC,xumdr->xamdfC", s0, r1c)
+            s = jnp.einsum("xamdfC,xqdnef->xqamneC", s, r2c)
+            rblk = jnp.einsum("xqamneC,xceC->xqamnc", s, br)
+            tab = jnp.einsum("xpABCE,xqABCE->xpq", lblk, rblk)
+        else:
+            r1a = (frow1 if (f == 1 and not even) else row1)[:nb]
+            r2a = cand2[:nb, :, f]                       # candidate at j
+            r1c = cand1[1:, :, 0]                        # candidate at i
+            r2c = (frow2 if (f == 1 and even) else row2)[1:]
+            t0 = jnp.einsum("xamnc,xauA->xmncuA", L, tl)
+            t = jnp.einsum("xmncuA,xumdr->xncAdr", t0, r1a)
+            t = jnp.einsum("xncAdr,xqdnef->xqcAref", t, r2a)
+            lblk = jnp.einsum("xqcAref,xceC->xqArfC", t, bl)
+            s0 = jnp.einsum("xauA,xArfC->xaurfC", tr, R)
+            s = jnp.einsum("xaurfC,xpumdr->xpamdfC", s0, r1c)
+            s = jnp.einsum("xpamdfC,xdnef->xpamneC", s, r2c)
+            rblk = jnp.einsum("xpamneC,xceC->xpamnc", s, br)
+            tab = jnp.einsum("xqABCE,xpABCE->xqp", lblk, rblk)
+        if f == 1:
+            comp = (jnp.exp(lw_r_f[2:] - lw_r_n[2:]) if even
+                    else jnp.exp(lw_l_f[:nb] - lw_l_n[:nb]))
+            tab = tab * comp[:, None, None]
+        return tab
+
+    return table_with(0), table_with(1)
+
+
+def fermion_ratio_tables(tps, config, space: FermionSpace, chi, trunc,
+                         want_diag: bool = False) -> FermionTables:
     """All NN amplitude-ratio tables of a graded state from SHARED
     environments: ratio[y, x, a, b] = psi(S with bond -> (a, b)) / psi(S),
     sign-consistent by construction (numerator and denominator close the
-    same environments)."""
+    same environments). want_diag additionally builds the NNN diagonal /
+    anti-diagonal tables (t2 channels) from the SAME env stacks."""
     ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
     net = fermion_project(tps, config, space)
     stacks = bmps.all_env_stacks(net, chi, trunc)
@@ -177,6 +243,26 @@ def fermion_ratio_tables(tps, config, space: FermionSpace, chi, trunc
         lefts_f, rights_f, lw_l_f, lw_r_f = _pair_row_envs(
             top, bot, fr1, fr2, dtype, with_logs=True)
 
+        diag_out = ()
+        if want_diag and lx > 1:
+            stacks_args = (lefts_n, rights_n, lefts_f, rights_f,
+                           lw_l_n, lw_r_n, lw_l_f, lw_r_f, top, bot,
+                           row1, row2, fr1, fr2, cand1, cand2, lx)
+            td0, td1 = _diag_tables_pair("d", even, *stacks_args)
+            cond_d = (pi_d[None, :, None]
+                      != pp_arr[c1][:lx - 1, None, None])
+            tab_d = jnp.where(cond_d, td1, td0)
+            psi_d = tab_d[jnp.arange(lx - 1), c1[:lx - 1], c2[1:]]
+            safe_d = jnp.where(psi_d == 0, 1.0, psi_d)
+            ta0, ta1 = _diag_tables_pair("ad", even, *stacks_args)
+            cond_a = (pi_d[None, None, :]
+                      != pp_arr[c1][1:, None, None])
+            tab_a = jnp.where(cond_a, ta1, ta0)
+            psi_a = tab_a[jnp.arange(lx - 1), c2[:lx - 1], c1[1:]]
+            safe_a = jnp.where(psi_a == 0, 1.0, psi_a)
+            diag_out = (tab_d / safe_d[:, None, None],
+                        tab_a / safe_a[:, None, None])
+
         def table_with(f):
             # upper candidate unflipped; lower candidate and the interval
             # environments flip-conditioned (interval = right side of the
@@ -207,9 +293,13 @@ def fermion_ratio_tables(tps, config, space: FermionSpace, chi, trunc
         table = jnp.where(cond, t1, t0)
         psi_b = table[jnp.arange(lx), c1, c2]
         safe = jnp.where(psi_b == 0, 1.0, psi_b)
-        return table / safe[:, None, None]
+        return (table / safe[:, None, None],) + diag_out
 
     ratio_v = jnp.zeros((ly - 1, lx, d, d), tps.dtype)
+    ratio_d = ratio_ad = None
+    if want_diag and lx > 1 and ly > 1:
+        ratio_d = jnp.zeros((ly - 1, lx - 1, d, d), tps.dtype)
+        ratio_ad = jnp.zeros((ly - 1, lx - 1, d, d), tps.dtype)
     ys_even = tuple(range(0, ly - 1, 2))
     ys_odd = tuple(range(1, ly - 1, 2))
     for ys, even in ((ys_even, True), (ys_odd, False)):
@@ -222,7 +312,10 @@ def fermion_ratio_tables(tps, config, space: FermionSpace, chi, trunc
             stacks.tops[ys_a], stacks.bots[ys_a + 2], net[ys_a],
             net[ys_a + 1], net_flip[ys_a], net_flip[ys_a + 1],
             config[ys_a], config[ys_a + 1], cands[ys_a], cands[ys_a + 1])
-        ratio_v = ratio_v.at[ys_a].set(part)
+        ratio_v = ratio_v.at[ys_a].set(part[0])
+        if ratio_d is not None:
+            ratio_d = ratio_d.at[ys_a].set(part[1])
+            ratio_ad = ratio_ad.at[ys_a].set(part[2])
 
     # full-amplitude diagnostics from the top stack
     final = stacks.tops[ly]
@@ -236,4 +329,4 @@ def fermion_ratio_tables(tps, config, space: FermionSpace, chi, trunc
     log_abs = jnp.log(jnp.maximum(jnp.abs(mant),
                                   jnp.finfo(rdtype(net)).tiny)) \
         + stacks.log_tops[ly]
-    return FermionTables(ratio_h, ratio_v, log_abs, mant)
+    return FermionTables(ratio_h, ratio_v, log_abs, mant, ratio_d, ratio_ad)

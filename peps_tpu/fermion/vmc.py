@@ -91,11 +91,21 @@ def snake_string_signs(config, ft: FermionTensors, rdt):
     even_row = (jnp.arange(ly - 1) % 2 == 0)[:, None]
     between_v = jnp.where(even_row, suffix[:-1] * suffix[1:],
                           prefix[:-1] * prefix[1:])
+    # diagonal bond i=(y,x), j=(y+1,x+1): snake sites strictly between are
+    # (even y) row-y cols > x + row-(y+1) cols > x+1; (odd y) the prefixes
+    between_d = jnp.where(even_row, suffix[:-1, :-1] * suffix[1:, 1:],
+                          prefix[:-1, :-1] * prefix[1:, 1:])
+    # anti-diagonal: JW-earlier i=(y,x+1), later j=(y+1,x)
+    between_ad = jnp.where(even_row, suffix[:-1, 1:] * suffix[1:, :-1],
+                           prefix[:-1, 1:] * prefix[1:, :-1])
     out = {}
     ones_h = jnp.ones((ly, lx - 1), rdt)
+    ones_diag = jnp.ones((ly - 1, lx - 1), rdt)
     if ft.spinless:
         out[("h", "up")] = ones_h
         out[("v", "up")] = between_v
+        out[("d", "up")] = between_d
+        out[("ad", "up")] = between_ad
     else:
         # species-internal adjacency within a site: up before down.
         # horizontal neighbors: between c_up(i) and c_up(j) sits dn(i)'s
@@ -106,14 +116,25 @@ def snake_string_signs(config, ft: FermionTensors, rdt):
         out[("h", "dn")] = zu[:, 1:]
         out[("v", "up")] = zd[:-1] * between_v
         out[("v", "dn")] = between_v * zu[1:]
+        # endpoint Z factors: up-hop carries zd at the JW-earlier site i,
+        # dn-hop zu at the later site j (i is always the row-y site)
+        out[("d", "up")] = zd[:-1, :-1] * between_d
+        out[("d", "dn")] = between_d * zu[1:, 1:]
+        out[("ad", "up")] = zd[:-1, 1:] * between_ad
+        out[("ad", "dn")] = between_ad * zu[1:, :-1]
     out[("h", "none")] = ones_h
     out[("v", "none")] = jnp.ones((ly - 1, lx), rdt)
+    out[("d", "none")] = ones_diag
+    out[("ad", "none")] = ones_diag
     return out
 
 
-def _replaced_ratio_tables(tps, config, space, chi, trunc, log0, mant0):
+def _replaced_ratio_tables(tps, config, space, chi, trunc, log0, mant0,
+                           want_diag: bool = False):
     """Full d x d ratio tables for every NN bond by BATCHED full recomputes:
-    ratio[y, x, a, b] = psi(S with bond sites -> (a, b)) / psi(S)."""
+    ratio[y, x, a, b] = psi(S with bond sites -> (a, b)) / psi(S).
+    want_diag adds the NNN diagonal/anti-diagonal tables (same index
+    conventions as fermion/tables.py FermionTables)."""
     ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
 
     def phase(m):
@@ -150,13 +171,33 @@ def _replaced_ratio_tables(tps, config, space, chi, trunc, log0, mant0):
     cfg_v = jax.vmap(lambda y, x: jax.vmap(
         lambda p: v_bond(y, x, p[0], p[1]))(ab))(
         ys_v.reshape(-1), xs_v.reshape(-1))
-    all_cfg = jnp.concatenate([cfg_h.reshape(-1, ly, lx),
-                               cfg_v.reshape(-1, ly, lx)], 0)
+    parts = [cfg_h.reshape(-1, ly, lx), cfg_v.reshape(-1, ly, lx)]
+    if want_diag:
+        def d_bond(y, x, a, b):     # a at (y,x), b at (y+1,x+1)
+            return config.at[y, x].set(a).at[y + 1, x + 1].set(b)
+
+        def ad_bond(y, x, a, b):    # a at (y+1,x), b at (y,x+1)
+            return config.at[y + 1, x].set(a).at[y, x + 1].set(b)
+
+        ys_d, xs_d = jnp.meshgrid(jnp.arange(ly - 1), jnp.arange(lx - 1),
+                                  indexing="ij")
+        for bond in (d_bond, ad_bond):
+            cfg_d = jax.vmap(lambda y, x: jax.vmap(
+                lambda p: bond(y, x, p[0], p[1]))(ab))(
+                ys_d.reshape(-1), xs_d.reshape(-1))
+            parts.append(cfg_d.reshape(-1, ly, lx))
+    all_cfg = jnp.concatenate(parts, 0)
     ratios = jax.vmap(ratio_of)(all_cfg)
     nh = ly * (lx - 1) * d * d
+    nv = (ly - 1) * lx * d * d
     ratio_h = ratios[:nh].reshape(ly, lx - 1, d, d)
-    ratio_v = ratios[nh:].reshape(ly - 1, lx, d, d)
-    return ratio_h, ratio_v
+    ratio_v = ratios[nh:nh + nv].reshape(ly - 1, lx, d, d)
+    if not want_diag:
+        return ratio_h, ratio_v
+    nd = (ly - 1) * (lx - 1) * d * d
+    ratio_d = ratios[nh + nv:nh + nv + nd].reshape(ly - 1, lx - 1, d, d)
+    ratio_ad = ratios[nh + nv + nd:].reshape(ly - 1, lx - 1, d, d)
+    return ratio_h, ratio_v, ratio_d, ratio_ad
 
 
 def local_energy_and_holes_graded(tps, config, model: GradedFermionModel,
@@ -174,15 +215,23 @@ def local_energy_and_holes_graded(tps, config, model: GradedFermionModel,
     ft, space = model.ft, model.space
     ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
     rdt = rdtype(tps)
+    want_diag = ft.has_diag and lx > 1 and ly > 1
+    ratio_d = ratio_ad = None
     if env_sharing:
         from peps_tpu.fermion.tables import fermion_ratio_tables
-        tabs = fermion_ratio_tables(tps, config, space, chi, trunc)
+        tabs = fermion_ratio_tables(tps, config, space, chi, trunc,
+                                    want_diag=want_diag)
         ratio_h, ratio_v = tabs.ratio_h, tabs.ratio_v
+        ratio_d, ratio_ad = tabs.ratio_d, tabs.ratio_ad
         log0, mant0 = tabs.log_abs_psi, tabs.psi_mant
     else:
         log0, mant0 = log_abs_psi_fermion(tps, config, space, chi, trunc)
-        ratio_h, ratio_v = _replaced_ratio_tables(tps, config, space, chi,
-                                                  trunc, log0, mant0)
+        tabs = _replaced_ratio_tables(tps, config, space, chi,
+                                      trunc, log0, mant0,
+                                      want_diag=want_diag)
+        ratio_h, ratio_v = tabs[0], tabs[1]
+        if want_diag:
+            ratio_d, ratio_ad = tabs[2], tabs[3]
     # the diagonal of each table is psi(S)/psi(S) = 1 numerically by
     # construction (same canonical path) — sign consistency for free
     signs = snake_string_signs(config, ft, rdt)
@@ -201,6 +250,21 @@ def local_energy_and_holes_graded(tps, config, model: GradedFermionModel,
             continue
         contrib = jnp.sum(h[c1v, c2v] * ratio_v, axis=(-1, -2))
         e = e + jnp.sum(signs[("v", key)] * contrib)
+    if want_diag:
+        c1d, c2d = config[:ly - 1, :lx - 1], config[1:, 1:]
+        for key, h in (("none", ft.h_d_none), ("up", ft.h_d_up),
+                       ("dn", ft.h_d_dn)):
+            if h is None:
+                continue
+            contrib = jnp.sum(h[c1d, c2d] * ratio_d, axis=(-1, -2))
+            e = e + jnp.sum(signs[("d", key)] * contrib)
+        c1a, c2a = config[1:, :lx - 1], config[:ly - 1, 1:]
+        for key, h in (("none", ft.h_ad_none), ("up", ft.h_ad_up),
+                       ("dn", ft.h_ad_dn)):
+            if h is None:
+                continue
+            contrib = jnp.sum(h[c1a, c2a] * ratio_ad, axis=(-1, -2))
+            e = e + jnp.sum(signs[("ad", key)] * contrib)
     if ft.h_site is not None:
         e = e + jnp.sum(ft.h_site[config, config])
 

@@ -38,6 +38,11 @@ class FermionChannel:
 
 @dataclasses.dataclass(frozen=True)
 class FermionModel:
+    """channels_d act on the diagonal (y,x)-(y+1,x+1); channels_ad on the
+    anti-diagonal with table index order ((y+1,x), (y,x+1)) — matching the
+    bosonic ModelTensors h_d/h_ad conventions. NNN (t2) channels mirror the
+    reference's EvaluateNNNEnergy (square_spinless_fermion.h:181,
+    square_tJ_model.h:168)."""
     phys_dim: int
     n_up: np.ndarray       # [d] up-occupation of each local state
     n_dn: np.ndarray       # [d] down-occupation (zeros for spinless)
@@ -46,6 +51,8 @@ class FermionModel:
     h_site: np.ndarray | None = None   # one-site term [d, d] (no string)
     spinless: bool = False
     name: str = "fermion_model"
+    channels_d: tuple = ()   # diagonal NNN channels
+    channels_ad: tuple = ()  # anti-diagonal NNN channels
 
 
 def _hop_table(d, create, destroy, amp):
@@ -59,9 +66,11 @@ def _hop_table(d, create, destroy, amp):
 
 
 def spinless_fermion(t: float = 1.0, v: float = 0.0,
-                     mu: float = 0.0) -> FermionModel:
-    """H = -t sum (c^dag c + h.c.) + V sum n n - mu sum n.
-    Reference: square_spinless_fermion.h."""
+                     mu: float = 0.0, t2: float = 0.0) -> FermionModel:
+    """H = -t sum_<ij> (c^dag c + h.c.) - t2 sum_<<ij>> (c^dag c + h.c.)
+    + V sum_<ij> n n - mu sum n.
+    Reference: square_spinless_fermion.h (t2 member :120, diagonal energy
+    :181-192; in-tree fixtures at t2 = -2.5, 0, 2.1)."""
     d = 2
     n = np.array([0.0, 1.0])
     cdag = np.array([[0.0, 0.0], [1.0, 0.0]])   # |1><0|
@@ -69,9 +78,14 @@ def spinless_fermion(t: float = 1.0, v: float = 0.0,
     hop = _hop_table(d, cdag, c, -t)
     nn = v * np.einsum("a,b,ac,bd->abcd", n, n, np.eye(d), np.eye(d))
     channels = (FermionChannel(hop, "up"), FermionChannel(nn, "none"))
+    diag = ()
+    if t2 != 0.0:
+        hop2 = _hop_table(d, cdag, c, -t2)
+        diag = (FermionChannel(hop2, "up"),)
     h_site = -mu * np.diag(n) if mu != 0.0 else None
     return FermionModel(d, n, np.zeros(d), channels, channels, h_site,
-                        spinless=True, name="spinless_fermion")
+                        spinless=True, name="spinless_fermion",
+                        channels_d=diag, channels_ad=diag)
 
 
 def _tj_ops():
@@ -86,9 +100,13 @@ def _tj_ops():
     return d, n_up, n_dn, cdag_up, cdag_dn, sz, sp
 
 
-def tj_model(t: float = 3.0, j: float = 1.0, mu: float = 0.0) -> FermionModel:
-    """t-J: -t sum_sigma (c^dag c + h.c.) + J sum (S.S - n n / 4) - mu n.
-    Reference: square_tJ_model.h."""
+def tj_model(t: float = 3.0, j: float = 1.0, mu: float = 0.0,
+             t2: float = 0.0, v: float = 0.0) -> FermionModel:
+    """Extended t-J: -t sum_<ij>,s (c^dag c + h.c.)
+    - t2 sum_<<ij>>,s (c^dag c + h.c.) + J sum_<ij> (S.S - n n / 4)
+    + V sum_<ij> n n - mu N.
+    Reference: square_tJ_model.h:9,99-100 (t, t2, J, V, mu),
+    EvaluateNNNEnergy :168 (t2 on both diagonal directions)."""
     d, n_up, n_dn, cdag_up, cdag_dn, sz, sp = _tj_ops()
     ntot = n_up + n_dn
     eye = np.eye(d)
@@ -98,12 +116,16 @@ def tj_model(t: float = 3.0, j: float = 1.0, mu: float = 0.0) -> FermionModel:
             + 0.5 * (np.einsum("ac,bd->abcd", sp, sp.T)
                      + np.einsum("ac,bd->abcd", sp.T, sp)))
     dens = np.einsum("a,b,ac,bd->abcd", ntot, ntot, eye, eye)
-    spin = j * (heis - 0.25 * dens)
+    spin = j * (heis - 0.25 * dens) + v * dens
     channels = (FermionChannel(hop_up, "up"), FermionChannel(hop_dn, "dn"),
                 FermionChannel(spin, "none"))
+    diag = ()
+    if t2 != 0.0:
+        diag = (FermionChannel(_hop_table(d, cdag_up, cdag_up.T, -t2), "up"),
+                FermionChannel(_hop_table(d, cdag_dn, cdag_dn.T, -t2), "dn"))
     h_site = -mu * np.diag(ntot) if mu != 0.0 else None
     return FermionModel(d, n_up, n_dn, channels, channels, h_site,
-                        name="tj_model")
+                        name="tj_model", channels_d=diag, channels_ad=diag)
 
 
 def hubbard(t: float = 1.0, u: float = 8.0, mu: float = 0.0) -> FermionModel:

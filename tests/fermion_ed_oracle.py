@@ -124,7 +124,13 @@ def build_fermion_hamiltonian(model: FermionModel, ly: int, lx: int,
     # channels + h_site -> matrix elements in the local basis with on-site
     # spin-flip terms treated as the 4-fermion exchange operator.
     bonds = ([((y, x), (y, x + 1), "h") for y in range(ly) for x in range(lx - 1)]
-             + [((y, x), (y + 1, x), "v") for y in range(ly - 1) for x in range(lx)])
+             + [((y, x), (y + 1, x), "v") for y in range(ly - 1) for x in range(lx)]
+             # diagonal ((y,x),(y+1,x+1)) and anti-diagonal ((y+1,x),(y,x+1))
+             # NNN bonds, in the channel tables' index order
+             + [((y, x), (y + 1, x + 1), "d")
+                for y in range(ly - 1) for x in range(lx - 1)]
+             + [((y + 1, x), (y, x + 1), "ad")
+                for y in range(ly - 1) for x in range(lx - 1)])
 
     configs = list(itertools.product(range(d), repeat=n_sites))
     for cfg_t in configs:
@@ -132,7 +138,9 @@ def build_fermion_hamiltonian(model: FermionModel, ly: int, lx: int,
         occ = _config_to_occ(cfg.reshape(ly, lx), model.n_up, model.n_dn,
                              model.spinless, order)
         for (s1y, s1x), (s2y, s2x), orient in bonds:
-            channels = model.channels_h if orient == "h" else model.channels_v
+            channels = {"h": model.channels_h, "v": model.channels_v,
+                        "d": getattr(model, "channels_d", ()),
+                        "ad": getattr(model, "channels_ad", ())}[orient]
             i1, i2 = s1y * lx + s1x, s2y * lx + s2x
             for ch in channels:
                 if ch.string in ("up", "dn"):

@@ -34,6 +34,14 @@ MODELS = [
     ("spinless_tV", fm.spinless_fermion(t=1.0, v=0.8, mu=0.3), (2, 3)),
     ("tj", fm.tj_model(t=3.0, j=1.0, mu=0.5), (2, 2)),
     ("hubbard", fm.hubbard(t=1.0, u=4.0, mu=0.7), (2, 2)),
+    # t2 (NNN diagonal) hopping at the reference's fixture amplitudes
+    # (square_spinless_fermion.h:57-58, test_data/spinless_fermion_tps_t2_*)
+    ("spinless_t2neg", fm.spinless_fermion(t=1.0, v=0.8, t2=-2.5), (2, 3)),
+    ("spinless_t2pos_3x3",
+     fm.spinless_fermion(t=1.0, v=0.3, mu=0.2, t2=2.1), (3, 3)),
+    # extended t-J (t, t2, J, V, mu) — square_tJ_model.h:9,99-100
+    ("tj_t2", fm.tj_model(t=3.0, j=1.0, mu=0.5, t2=-2.5, v=0.4), (2, 3)),
+    ("tj_t2pos", fm.tj_model(t=3.0, j=1.0, t2=2.1), (3, 2)),
 ]
 
 

@@ -55,13 +55,17 @@ def test_env_shared_tables_match_full_recompute(case):
         log0, mant0 = log_abs_psi_fermion(tps, cfg, space, chi, tp)
         if float(log0) < -20:      # zero-amplitude config: zero-weighted
             continue
-        rh0, rv0 = _replaced_ratio_tables(tps, cfg, space, chi, tp, log0,
-                                          mant0)
-        t = fermion_ratio_tables(tps, cfg, space, chi, tp)
+        rh0, rv0, rd0, rad0 = _replaced_ratio_tables(
+            tps, cfg, space, chi, tp, log0, mant0, want_diag=True)
+        t = fermion_ratio_tables(tps, cfg, space, chi, tp, want_diag=True)
         cfg_np = np.asarray(cfg)
         for a, b, c1, c2 in ((rh0, t.ratio_h, cfg_np[:, :lx - 1],
                               cfg_np[:, 1:]),
-                             (rv0, t.ratio_v, cfg_np[:ly - 1], cfg_np[1:])):
+                             (rv0, t.ratio_v, cfg_np[:ly - 1], cfg_np[1:]),
+                             (rd0, t.ratio_d, cfg_np[:ly - 1, :lx - 1],
+                              cfg_np[1:, 1:]),
+                             (rad0, t.ratio_ad, cfg_np[1:, :lx - 1],
+                              cfg_np[:ly - 1, 1:])):
             a, b = np.asarray(a), np.asarray(b)
             for idx in np.ndindex(a.shape[:2]):
                 # only parity-conserving entries carry physics (others

@@ -183,3 +183,41 @@ def test_su_init_beats_random_start_mc_vmc():
     # and the SU start is already close to the sector ED
     _, e_ed = oracle_sector_energy(model, ly, lx, tps_su, space, occ0)
     assert res_su.lowest_energy < e_ed + 0.05 * abs(e_ed)
+
+
+@pytest.mark.parametrize("t2", [-2.5, 2.1])
+def test_graded_exact_sum_energy_t2_matches_oracle(t2):
+    """t2 (NNN diagonal) hopping on the graded path: exact-sum local
+    energies with snake diagonal strings + env-shared diagonal tables equal
+    the sector oracle (reference: EvaluateNNNEnergy,
+    square_spinless_fermion.h:181, fixtures at t2 = -2.5, 2.1)."""
+    model = spinless_fermion(1.0, 0.5, t2=t2)
+    nn_model = spinless_fermion(1.0, 0.5)   # SU state from the NN part only
+    ly, lx, D = 2, 3, 4
+    occ0 = np.array([[1, 0, 0], [0, 0, 1]])
+    tps, space = su_state(nn_model, ly, lx, D, occ0)
+    gm = GradedFermionModel.from_model(model, space, tps.dtype)
+    configs = jnp.asarray(sector_configs(ly, lx, {1: 2, 0: 4}))
+    res = exact_sum_energy_gradient(tps, configs, gm, CHI, TP,
+                                    with_grad=False)
+    e_oracle, _ = oracle_sector_energy(model, ly, lx, tps, space, occ0)
+    assert abs(float(res.energy) - e_oracle) < 1e-8, (float(res.energy),
+                                                      e_oracle)
+
+
+def test_graded_exact_sum_energy_t2_tj_3rows():
+    """Extended t-J (t, t2, J, V) on 3 rows — exercises the ODD-row snake
+    diagonal strings (reference: square_tJ_model.h:9, t2 on both diagonal
+    directions)."""
+    model = tj_model(3.0, 1.0, t2=-2.5, v=0.4)
+    nn_model = tj_model(3.0, 1.0)
+    ly, lx, D = 3, 2, 4
+    occ0 = np.array([[1, 2], [0, 1], [2, 0]])
+    tps, space = su_state(nn_model, ly, lx, D, occ0)
+    gm = GradedFermionModel.from_model(model, space, tps.dtype)
+    configs = jnp.asarray(sector_configs(ly, lx, {1: 2, 2: 2, 0: 2}))
+    res = exact_sum_energy_gradient(tps, configs, gm, CHI, TP,
+                                    with_grad=False)
+    e_oracle, _ = oracle_sector_energy(model, ly, lx, tps, space, occ0)
+    assert abs(float(res.energy) - e_oracle) < 1e-8, (float(res.energy),
+                                                      e_oracle)
