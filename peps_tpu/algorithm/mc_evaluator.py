@@ -53,7 +53,7 @@ def _mc_collect(tps, configs, key, model: ModelTensors, chi, trunc, rule,
     SR buffers), acceptance stats, final configs/key."""
     from peps_tpu.fermion.vmc import (GradedFermionModel,
                                       local_energy_and_holes_graded,
-                                      mc_sweep_fermion)
+                                      mc_sweep_fermion_shared as mc_sweep_fermion)
 
     graded = isinstance(model, GradedFermionModel)
     tps_t = None if graded else transpose_tps(tps)

@@ -142,7 +142,7 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
 
     from peps_tpu.fermion.vmc import (GradedFermionModel,
                                       local_energy_and_holes_graded,
-                                      mc_sweep_fermion)
+                                      mc_sweep_fermion_shared as mc_sweep_fermion)
 
     ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
     periodic = bc == BoundaryCondition.PERIODIC

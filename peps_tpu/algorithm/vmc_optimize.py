@@ -62,7 +62,7 @@ def vmc_optimize(tps: jnp.ndarray, model, params: VMCParams,
     from peps_tpu.algorithm.energy_fermion import FermionTensors
     from peps_tpu.fermion.vmc import (GradedFermionModel,
                                       ensure_validity_fermion,
-                                      mc_sweep_fermion,
+                                      mc_sweep_fermion_shared as mc_sweep_fermion,
                                       normalize_state_order1_fermion)
     from peps_tpu.models.fermion import FermionModel
     if isinstance(model, (ModelTensors, FermionTensors,

@@ -47,7 +47,8 @@ from peps_tpu.fermion.peps import (FermionSpace, fermion_simple_update,
 from peps_tpu.fermion.convert import fermion_project
 from peps_tpu.fermion.vmc import (GradedFermionModel, amplitude_fermion,
                                   local_energy_and_holes_graded,
-                                  mc_sweep_fermion)
+                                  mc_sweep_fermion,
+                                  mc_sweep_fermion_shared)
 
 __all__ = [
     "BoundaryCondition", "TruncParams", "UpdateRule",
@@ -71,6 +72,7 @@ __all__ = [
     "fermion_simple_update", "to_tps_fermion", "fermion_project",
     "GradedFermionModel", "amplitude_fermion",
     "local_energy_and_holes_graded", "mc_sweep_fermion",
+    "mc_sweep_fermion_shared",
     "wavefunction_sum", "expand_bond_dim", "entanglement_entropy",
     "Observable",
     "structure_factor_spsm_row", "fermion_ratio_tables",

@@ -341,6 +341,11 @@ def ensure_validity_fermion(tps, configs, key, space, chi, trunc):
     return rescued, jnp.sum(~valid)
 
 
+# env-shared production sweep (fermion/sweep.py); the full-recompute
+# mc_sweep_fermion above remains as the validation fallback
+from peps_tpu.fermion.sweep import mc_sweep_fermion_shared  # noqa: E402
+
+
 @partial(jax.jit, static_argnames=("space", "chi", "trunc"))
 def normalize_state_order1_fermion(tps, configs, space, chi, trunc):
     mant, logw = amplitudes_fermion(tps, configs, space, chi, trunc)
