@@ -276,6 +276,43 @@ def graded_svd_truncated(m: jnp.ndarray, pr, pc, d_even: int, d_odd: int):
     return u, s, vt, terr, split_parity(d_even, d_odd)
 
 
+def charged_svd_truncated(m: jnp.ndarray, row_masks, col_masks,
+                          keep: tuple):
+    """U(1)-charge-resolved truncated SVD.
+
+    row_masks/col_masks: [S, R] / [S, C] 0/1 arrays selecting the rows/cols
+    of each of the S flux sectors (may be traced data — per-bond sector
+    membership depends on the site charge constants kappa). keep: STATIC
+    tuple of per-sector kept counts, sum = D. The new bond layout is the
+    concatenation of the sectors in order.
+
+    Each sector is SVD'd on the masked matrix and its singular vectors are
+    re-masked, so kept vectors are EXACTLY supported on their sector —
+    truncation cannot leak weight between U(1) charge sectors (the
+    reference's fermionic U(1) tensors, e.g. test_data/
+    tps_tJ_6x6Hole2_J0.3_D8_fU1, get this from qlten's block sparsity).
+
+    Returns (u [R, D], s [D], vt [D, C], trunc_err)."""
+    us, ss, vts = [], [], []
+    total = jnp.zeros((), m.real.dtype)
+    for sidx, cnt in enumerate(keep):
+        rm = row_masks[sidx].astype(m.dtype)
+        cm = col_masks[sidx].astype(m.dtype)
+        ms = m * rm[:, None] * cm[None, :]
+        u, s, vt = jnp.linalg.svd(ms, full_matrices=False)
+        total = total + jnp.sum(s ** 2)
+        assert cnt <= s.shape[0], (sidx, cnt, s.shape)
+        us.append(u[:, :cnt] * rm[:, None])
+        ss.append(s[:cnt])
+        vts.append(vt[:cnt] * cm[None, :])
+    u = jnp.concatenate(us, axis=1)
+    s = jnp.concatenate(ss)
+    vt = jnp.concatenate(vts, axis=0)
+    kept = jnp.sum(s ** 2)
+    terr = (total - kept) / jnp.maximum(total, jnp.finfo(s.dtype).tiny)
+    return u, s, vt, terr
+
+
 def graded_qr(m: jnp.ndarray, pr, pc):
     """QR of a parity-even matrix, blockwise. Returns (q, r, bond_parity):
     q [R, D], r [D, C] with D = (#even rows kept + #odd rows kept) =

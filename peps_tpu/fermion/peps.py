@@ -24,8 +24,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from peps_tpu.fermion.graded import (GT, gcontract, graded_svd_truncated,
-                                     gtranspose, operator_gt, split_parity)
+from peps_tpu.fermion.graded import (GT, charged_svd_truncated, gcontract,
+                                     graded_svd_truncated, gtranspose,
+                                     operator_gt, split_parity)
 from peps_tpu.lattice import boundary_mask
 from peps_tpu.linalg import TruncParams, expm_taylor, safe_inverse
 from peps_tpu.peps import PEPS, SimpleUpdateParams, SimpleUpdateResult
@@ -53,6 +54,135 @@ def space_for_model(model, bond_dim: int) -> FermionSpace:
     pp = tuple(int(model.n_up[i] + model.n_dn[i]) % 2 for i in range(d))
     de = (bond_dim + 1) // 2
     return FermionSpace(pp, de, bond_dim - de)
+
+
+# ---------------------------------------------------------------------------
+# Optional U(1) particle-number resolution (reference: fermionic U(1)
+# tensors, e.g. tests/test_data/tps_tJ_6x6Hole2_J0.3_D8_fU1). Static charge
+# layout per bond + static per-site charge constants kappa; the SU SVD then
+# truncates per flux sector, so particle number is conserved EXACTLY under
+# truncation (the Z2-only split conserves just parity).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class U1Charges:
+    """phys_charge[s] = particle number of local state s; bond_charge =
+    static per-slot charge layout (q % 2 must equal the bond parity
+    layout); keep = ((q, count), ...) in layout order; kappa[y][x] =
+    static per-site covariance constants (a gauge fixed by the initial
+    occupancy's snake charge routing)."""
+    phys_charge: tuple
+    bond_charge: tuple
+    keep: tuple
+    kappa: tuple
+
+    @property
+    def keep_counts(self):
+        return tuple(c for _, c in self.keep)
+
+    @property
+    def sector_charges(self):
+        return tuple(q for q, _ in self.keep)
+
+
+def u1_bond_layout(space: FermionSpace):
+    """Default static charge layout matching the space's parity split:
+    two even slots at q=0, remaining even slots alternate q=+2/-2 (the
+    +-2 flux sectors matter for doped systems — measured: 2x3 t-J with 2
+    holes improves from 22% to 7% off sector-ED when a +2 slot exists);
+    odd slots split between q=+1 and q=-1."""
+    de, do = space.d_even, space.d_odd
+    n0 = min(de, 2)
+    n_p2 = (de - n0 + 1) // 2
+    ext = [2] * n_p2 + [-2] * (de - n0 - n_p2)
+    even_charges = (0,) * n0 + tuple(ext)
+    c_plus = (do + 1) // 2
+    charges = even_charges + (1,) * c_plus + (-1,) * (do - c_plus)
+    keep = [(0, n0)]
+    if ext.count(2):
+        keep.append((2, ext.count(2)))
+    if ext.count(-2):
+        keep.append((-2, ext.count(-2)))
+    keep.append((1, c_plus))
+    if do - c_plus:
+        keep.append((-1, do - c_plus))
+    return charges, tuple(keep)
+
+
+def u1_charges_for(model, space: FermionSpace, occupancy) -> U1Charges:
+    """Build the static U(1) metadata for an initial occupancy: per-site
+    kappa from the snake charge routing of `product_fermion_peps` (routed
+    bond slot = first odd slot, charge +1), so the product start state is
+    exactly U(1)-covariant with these constants."""
+    from peps_tpu.fermion.exact import snake_order
+    d = model.phys_dim
+    qp = tuple(int(model.n_up[i] + model.n_dn[i]) for i in range(d))
+    charges, keep = u1_bond_layout(space)
+    occ = np.asarray(occupancy)
+    ly, lx = occ.shape
+    pp = space.phys_parity
+    order = snake_order(ly, lx)
+    sgn = {"u": -1, "l": -1, "d": 1, "r": 1}   # primal legs count +
+    kappa = np.zeros((ly, lx), dtype=np.int64)
+    c = 0
+    for k, (y, x) in enumerate(order):
+        n_s = int(occ[y, x])
+        c_new = (c + pp[n_s]) % 2
+        kap = qp[n_s]
+        if k > 0:
+            py, px = order[k - 1]
+            leg_in = ("u" if py == y - 1 else ("l" if px == x - 1 else "r"))
+            kap += sgn[leg_in] * c            # routed slot charge = c
+        if k + 1 < len(order):
+            ny, nx = order[k + 1]
+            leg_out = ("d" if ny == y + 1 else ("r" if nx == x + 1 else "l"))
+            kap += sgn[leg_out] * c_new
+        kappa[y, x] = kap
+        c = c_new
+    return U1Charges(qp, charges, keep, tuple(map(tuple, kappa.tolist())))
+
+
+def _group_flux(groups, signs):
+    """Signed charge sum over a fused group (row-major): groups = list of
+    per-slot charge tuples, signs = +-1 per group. Returns flat int array
+    of length prod(dims)."""
+    qs = [np.asarray(q) for q in groups]
+    tot = np.zeros([len(q) for q in qs], dtype=np.int64)
+    for ax, (q, s) in enumerate(zip(qs, signs)):
+        shape = [1] * len(qs)
+        shape[ax] = len(q)
+        tot = tot + s * q.reshape(shape)
+    return tot.reshape(-1)
+
+
+def _u1_bond_masks(charges: U1Charges, space: FermionSpace, orient: str,
+                   ly: int, lx: int):
+    """Per-bond row/col flux-sector masks for the SU pair SVD.
+
+    Row group (A side) and col group (B side) of the gated pair tensor,
+    with arrow signs (primal +, dual -):
+      h: rows (p+, u-, l-, d+) cut on A's r;  cols (p+, u-, d+, r+)
+      v: rows (p+, u-, l-, r+) cut on A's d;  cols (p+, l-, d+, r+)
+    Sector q: rows with g0 == kappaA - q; cols with h0 == q + kappaB.
+    Returns (row_masks [Ny, Nx, S, R], col_masks [Ny, Nx, S, C]) numpy."""
+    qp, qb = charges.phys_charge, charges.bond_charge
+    if orient == "h":
+        g0 = _group_flux([qp, qb, qb, qb], [1, -1, -1, 1])
+        h0 = _group_flux([qp, qb, qb, qb], [1, -1, 1, 1])
+        ka = np.asarray(charges.kappa)[:, :lx - 1]
+        kb = np.asarray(charges.kappa)[:, 1:]
+    else:
+        g0 = _group_flux([qp, qb, qb, qb], [1, -1, -1, 1])
+        h0 = _group_flux([qp, qb, qb, qb], [1, -1, 1, 1])
+        ka = np.asarray(charges.kappa)[:ly - 1]
+        kb = np.asarray(charges.kappa)[1:]
+    secs = np.asarray(charges.sector_charges)
+    row_masks = (g0[None, None, None, :]
+                 == (ka[:, :, None] - secs[None, None, :])[..., None])
+    col_masks = (h0[None, None, None, :]
+                 == (kb[:, :, None] + secs[None, None, :])[..., None])
+    return row_masks.astype(np.float64), col_masks.astype(np.float64)
 
 
 def product_fermion_peps(ly: int, lx: int, space: FermionSpace,
@@ -133,18 +263,28 @@ def _fused_parity(groups):
     return tuple((tot % 2).reshape(-1).tolist())
 
 
-def _svd_split(th_data, space: FermionSpace):
+def _svd_split(th_data, space: FermionSpace, u1=None):
     """Shared tail: blockwise truncated SVD of the gated pair tensor
     [P_A', legsA..., P_B', legsB...] (3 virtual legs per group) +
     evaluation-sign absorption so the decomposition reconstructs theta
     under gcontract (A's new primal leg contracts first against B's dual
-    leg, a (-1)^p pairing)."""
+    leg, a (-1)^p pairing).
+
+    u1: optional (row_masks [S, R], col_masks [S, C], keep_counts,
+    bond_parity) — switches to the U(1) flux-resolved SVD
+    (charged_svd_truncated): truncation then conserves particle number
+    exactly."""
     pp, pb = space.phys_parity, space.bond_parity
     d, D = len(pp), space.bond_dim
     de, do = space.d_even, space.d_odd
     mat = th_data.reshape(d * D ** 3, d * D ** 3)
-    gp = _fused_parity([pp, pb, pb, pb])
-    u, s, vt, terr, pbn = graded_svd_truncated(mat, gp, gp, de, do)
+    if u1 is None:
+        gp = _fused_parity([pp, pb, pb, pb])
+        u, s, vt, terr, pbn = graded_svd_truncated(mat, gp, gp, de, do)
+    else:
+        row_masks, col_masks, keep_counts, pbn = u1
+        u, s, vt, terr = charged_svd_truncated(mat, row_masks, col_masks,
+                                               keep_counts)
     norm = jnp.linalg.norm(s)
     lam_new = s / jnp.maximum(norm, jnp.finfo(s.dtype).tiny)
     sgn = jnp.asarray(1.0 - 2.0 * np.asarray(pbn), vt.dtype)
@@ -167,7 +307,7 @@ def _bond_energy_diag(th, h_bond, theta, space):
 
 
 def _pair_kernel_h(a, b, lu_a, ll_a, ld_a, lu_b, ld_b, lr_b, lam_mid,
-                   gate, h_bond, space: FermionSpace):
+                   gate, h_bond, space: FermionSpace, u1=None):
     """Graded two-site projection, horizontal bond. a = LEFT site, b = RIGHT.
     gate/h_bond [d,d,d,d] in (A', B', A, B) graded layout (A's modes first).
     Returns (a', b', lam', bond_e, trunc_err, log_norm)."""
@@ -187,7 +327,7 @@ def _pair_kernel_h(a, b, lu_a, ll_a, ld_a, lu_b, ld_b, lr_b, lam_mid,
     bond_e = _bond_energy_diag(th, h_bond, theta, space)
     th = gtranspose(th, (0, 2, 3, 4, 1, 5, 6, 7))
     # axes: PA' uA lA dA | PB' uB dB rB
-    u5, vt5, lam_new, terr, log_norm, pbn = _svd_split(th.data, space)
+    u5, vt5, lam_new, terr, log_norm, pbn = _svd_split(th.data, space, u1)
     ga = u5                                          # (p,u,l,d,r_new)
     GB = GT(vt5, (pbn, pp, pb, pb, pb), (True, False, True, False, False))
     gb = gtranspose(GB, (1, 2, 0, 3, 4)).data        # (p,u,l_new,d,r)
@@ -199,7 +339,7 @@ def _pair_kernel_h(a, b, lu_a, ll_a, ld_a, lu_b, ld_b, lr_b, lam_mid,
 
 
 def _pair_kernel_v(a, b, lu_a, ll_a, lr_a, ll_b, ld_b, lr_b, lam_mid,
-                   gate, h_bond, space: FermionSpace):
+                   gate, h_bond, space: FermionSpace, u1=None):
     """Graded two-site projection, vertical bond. a = UPPER site (earlier in
     snake order), b = LOWER. gate layout (A', B', A, B), A's modes first."""
     pp, pb = space.phys_parity, space.bond_parity
@@ -218,7 +358,7 @@ def _pair_kernel_v(a, b, lu_a, ll_a, lr_a, ll_b, ld_b, lr_b, lam_mid,
     bond_e = _bond_energy_diag(th, h_bond, theta, space)
     th = gtranspose(th, (0, 2, 3, 4, 1, 5, 6, 7))
     # axes: PA' uA lA rA | PB' lB dB rB
-    u5, vt5, lam_new, terr, log_norm, pbn = _svd_split(th.data, space)
+    u5, vt5, lam_new, terr, log_norm, pbn = _svd_split(th.data, space, u1)
     GA = GT(u5, (pp, pb, pb, pb, pbn), (False, True, True, False, False))
     ga = gtranspose(GA, (0, 1, 2, 4, 3)).data        # (p,u,l,d_new,r)
     GB = GT(vt5, (pbn, pp, pb, pb, pb), (True, False, True, False, False))
@@ -235,9 +375,12 @@ def _pair_kernel_v(a, b, lu_a, ll_a, lr_a, ll_b, ld_b, lr_b, lam_mid,
 # ---------------------------------------------------------------------------
 
 
-def _apply_h_sublattice(peps: PEPS, xs, gate, h_bond, space: FermionSpace):
+def _apply_h_sublattice(peps: PEPS, xs, gate, h_bond, space: FermionSpace,
+                        u1_masks=None, u1_meta=None):
     """Batched graded update of site-disjoint horizontal bonds (y, x)-(y,
-    x+1) for x in xs, all rows. gate/h_bond: [Ly, Lx-1, d,d,d,d]."""
+    x+1) for x in xs, all rows. gate/h_bond: [Ly, Lx-1, d,d,d,d].
+    u1_masks: optional ([Ly, Lx-1, S, R], [Ly, Lx-1, S, C]) per-bond flux
+    masks; u1_meta: (keep_counts, bond_parity) static."""
     g, lam_v, lam_h = peps
     ly = g.shape[0]
     d = g.shape[2]
@@ -254,10 +397,25 @@ def _apply_h_sublattice(peps: PEPS, xs, gate, h_bond, space: FermionSpace):
     lr_b = lam_h[:, xs_arr + 2].reshape(-1, D)
     gate_b = gate[:, xs_arr].reshape(-1, d, d, d, d)
     h_b = h_bond[:, xs_arr].reshape(-1, d, d, d, d)
-    ga, gb, lam_new, be, terr, ln = jax.vmap(
-        _pair_kernel_h, in_axes=(0,) * 11 + (None,))(
-        gA, gB, lu_a, ll_a, ld_a, lu_b, ld_b, lr_b, lam_mid, gate_b, h_b,
-        space)
+    if u1_masks is None:
+        ga, gb, lam_new, be, terr, ln = jax.vmap(
+            _pair_kernel_h, in_axes=(0,) * 11 + (None,))(
+            gA, gB, lu_a, ll_a, ld_a, lu_b, ld_b, lr_b, lam_mid, gate_b,
+            h_b, space)
+    else:
+        rmk, cmk = u1_masks
+        ns = rmk.shape[2]
+        rm = jnp.asarray(rmk[:, np.asarray(xs)]).reshape(-1, ns,
+                                                         rmk.shape[-1])
+        cm = jnp.asarray(cmk[:, np.asarray(xs)]).reshape(-1, ns,
+                                                         cmk.shape[-1])
+        keep_counts, pbn = u1_meta
+        kern = lambda a, b, l1, l2, l3, l4, l5, l6, lm, gt_, hb, r, c: \
+            _pair_kernel_h(a, b, l1, l2, l3, l4, l5, l6, lm, gt_, hb,
+                           space, (r, c, keep_counts, pbn))
+        ga, gb, lam_new, be, terr, ln = jax.vmap(kern)(
+            gA, gB, lu_a, ll_a, ld_a, lu_b, ld_b, lr_b, lam_mid, gate_b,
+            h_b, rm, cm)
     nb = len(xs)
     g = g.at[:, xs_arr].set(ga.reshape(ly, nb, *g.shape[2:]))
     g = g.at[:, xs_arr + 1].set(gb.reshape(ly, nb, *g.shape[2:]))
@@ -265,7 +423,8 @@ def _apply_h_sublattice(peps: PEPS, xs, gate, h_bond, space: FermionSpace):
     return (PEPS(g, lam_v, lam_h), jnp.sum(be), jnp.max(terr), jnp.sum(ln))
 
 
-def _apply_v_sublattice(peps: PEPS, ys, gate, h_bond, space: FermionSpace):
+def _apply_v_sublattice(peps: PEPS, ys, gate, h_bond, space: FermionSpace,
+                        u1_masks=None, u1_meta=None):
     """Batched graded update of vertical bonds (y, x)-(y+1, x) for y in ys."""
     g, lam_v, lam_h = peps
     lx = g.shape[1]
@@ -283,10 +442,25 @@ def _apply_v_sublattice(peps: PEPS, ys, gate, h_bond, space: FermionSpace):
     ld_b = lam_v[ys_arr + 2].reshape(-1, D)
     gate_b = gate[ys_arr].reshape(-1, d, d, d, d)
     h_b = h_bond[ys_arr].reshape(-1, d, d, d, d)
-    ga, gb, lam_new, be, terr, ln = jax.vmap(
-        _pair_kernel_v, in_axes=(0,) * 11 + (None,))(
-        gA, gB, lu_a, ll_a, lr_a, ll_b, ld_b, lr_b, lam_mid, gate_b, h_b,
-        space)
+    if u1_masks is None:
+        ga, gb, lam_new, be, terr, ln = jax.vmap(
+            _pair_kernel_v, in_axes=(0,) * 11 + (None,))(
+            gA, gB, lu_a, ll_a, lr_a, ll_b, ld_b, lr_b, lam_mid, gate_b,
+            h_b, space)
+    else:
+        rmk, cmk = u1_masks
+        ns = rmk.shape[2]
+        rm = jnp.asarray(rmk[np.asarray(ys)]).reshape(-1, ns,
+                                                      rmk.shape[-1])
+        cm = jnp.asarray(cmk[np.asarray(ys)]).reshape(-1, ns,
+                                                      cmk.shape[-1])
+        keep_counts, pbn = u1_meta
+        kern = lambda a, b, l1, l2, l3, l4, l5, l6, lm, gt_, hb, r, c: \
+            _pair_kernel_v(a, b, l1, l2, l3, l4, l5, l6, lm, gt_, hb,
+                           space, (r, c, keep_counts, pbn))
+        ga, gb, lam_new, be, terr, ln = jax.vmap(kern)(
+            gA, gB, lu_a, ll_a, lr_a, ll_b, ld_b, lr_b, lam_mid, gate_b,
+            h_b, rm, cm)
     ny = len(ys)
     g = g.at[ys_arr].set(ga.reshape(ny, lx, *g.shape[2:]))
     g = g.at[ys_arr + 1].set(gb.reshape(ny, lx, *g.shape[2:]))
@@ -295,7 +469,7 @@ def _apply_v_sublattice(peps: PEPS, ys, gate, h_bond, space: FermionSpace):
 
 
 def fermion_sweep(peps: PEPS, gate_h, gate_v, h_h, h_v,
-                  space: FermionSpace):
+                  space: FermionSpace, u1_h=None, u1_v=None, u1_meta=None):
     """One checkerboard sweep over all horizontal then vertical bonds."""
     ly, lx = peps.ly, peps.lx
     e_sum = jnp.zeros((), peps.gammas.real.dtype)
@@ -304,19 +478,22 @@ def fermion_sweep(peps: PEPS, gate_h, gate_v, h_h, h_v,
     for xs in (tuple(range(0, lx - 1, 2)), tuple(range(1, lx - 1, 2))):
         if not xs:
             continue
-        peps, e, t, ln = _apply_h_sublattice(peps, xs, gate_h, h_h, space)
+        peps, e, t, ln = _apply_h_sublattice(peps, xs, gate_h, h_h, space,
+                                             u1_h, u1_meta)
         e_sum, terr, log_norm = e_sum + e, jnp.maximum(terr, t), log_norm + ln
     for ys in (tuple(range(0, ly - 1, 2)), tuple(range(1, ly - 1, 2))):
         if not ys:
             continue
-        peps, e, t, ln = _apply_v_sublattice(peps, ys, gate_v, h_v, space)
+        peps, e, t, ln = _apply_v_sublattice(peps, ys, gate_v, h_v, space,
+                                             u1_v, u1_meta)
         e_sum, terr, log_norm = e_sum + e, jnp.maximum(terr, t), log_norm + ln
     return peps, (e_sum, log_norm, terr)
 
 
 def fermion_simple_update(peps: PEPS, model, space: FermionSpace,
                           params: SimpleUpdateParams,
-                          step_observer: Callable | None = None
+                          step_observer: Callable | None = None,
+                          charges: U1Charges | None = None
                           ) -> SimpleUpdateResult:
     """Imaginary-time evolution of a fermionic PEPS (the reference's graded
     SimpleUpdateExecutor, validated by test_fermion_simple_update.cpp).
@@ -346,8 +523,17 @@ def fermion_simple_update(peps: PEPS, model, space: FermionSpace,
     gate_v = make_gate(hv_b.reshape(-1, d * d, d * d)).reshape(
         ly - 1, lx, d, d, d, d)
 
+    u1_h = u1_v = u1_meta = None
+    if charges is not None:
+        assert tuple(q % 2 for q in charges.bond_charge) \
+            == space.bond_parity, "bond charges must refine the parity split"
+        u1_h = _u1_bond_masks(charges, space, "h", ly, lx)
+        u1_v = _u1_bond_masks(charges, space, "v", ly, lx)
+        pbn = tuple(q % 2 for q in charges.bond_charge)
+        u1_meta = (charges.keep_counts, pbn)
+
     sweep = jax.jit(lambda p: fermion_sweep(p, gate_h, gate_v, hh_b, hv_b,
-                                            space))
+                                            space, u1_h, u1_v, u1_meta))
     history = []
     e_prev, stall, converged, en = None, 0, False, float("nan")
     step = 0

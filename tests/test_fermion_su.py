@@ -213,3 +213,87 @@ def test_su_hubbard_sector_projection_improves():
     e, e_ed = _sector_energy(model, ly, lx, v, occ0)
     assert e >= e_ed - 1e-9
     assert e < 0.5 * e_ed, (e, e_ed)   # far below 0 (product state = U-cost)
+
+
+def _run_su_u1(model, ly, lx, D, occ0, sched, space=None):
+    from peps_tpu.fermion.peps import u1_charges_for
+    if space is None:
+        space = space_for_model(model, D)
+    charges = u1_charges_for(model, space, occ0)
+    peps = product_fermion_peps(ly, lx, space, occ0)
+    for steps, tau in sched:
+        out = fermion_simple_update(
+            peps, model, space,
+            SimpleUpdateParams(steps=steps, tau=tau,
+                               trunc=TruncParams(D, 1, 1e-12)),
+            charges=charges)
+        peps = out.peps
+    return peps, space
+
+
+def _sector_weights(model, ly, lx, v):
+    """Total |psi|^2 weight per total-N sector (the conserved U(1) charge,
+    matching the reference's fU1 tensors)."""
+    d = model.phys_dim
+    w = {}
+    for i, cfg in enumerate(itertools.product(range(d), repeat=ly * lx)):
+        n = sum(int(model.n_up[s] + model.n_dn[s]) for s in cfg)
+        w[n] = w.get(n, 0.0) + float(abs(v[i]) ** 2)
+    return w
+
+
+def _ntot_sector_energy(model, ly, lx, v, n0):
+    """Energy of the total-N sector projection + that sector's ED ground."""
+    d = model.phys_dim
+    H = FO.build_fermion_hamiltonian(model, ly, lx, order="snake").toarray()
+    idx = [int(np.ravel_multi_index(cfg, (d,) * (ly * lx)))
+           for cfg in itertools.product(range(d), repeat=ly * lx)
+           if sum(int(model.n_up[s] + model.n_dn[s]) for s in cfg) == n0]
+    idx = np.array(idx)
+    Hs = H[np.ix_(idx, idx)]
+    vs = v[idx]
+    e = float(vs @ Hs @ vs) / float(vs @ vs)
+    return e, float(np.linalg.eigvalsh(Hs)[0])
+
+
+def test_su_hubbard_u1_zero_sector_leakage():
+    """U(1)-resolved truncation (charged_svd_truncated): Hubbard SU at
+    D < exact rank keeps the ENTIRE weight in the initial N sector — zero
+    leaked weight, not just 'projection improves' (reference: fermionic
+    U(1) tensors, test_data/tps_tJ_6x6Hole2_J0.3_D8_fU1)."""
+    model = hubbard(1.0, 4.0)
+    ly, lx, D = 2, 3, 5
+    s_up = int(np.argwhere((model.n_up == 1) & (model.n_dn == 0))[0, 0])
+    s_dn = int(np.argwhere((model.n_up == 0) & (model.n_dn == 1))[0, 0])
+    occ0 = np.array([[s_up, s_dn, 0], [s_dn, s_up, 0]])
+    peps, space = _run_su_u1(model, ly, lx, D, occ0,
+                             [(60, 0.2), (60, 0.05)])
+    v = coeffs_vec(peps, space, ly, lx)
+    w = _sector_weights(model, ly, lx, v)
+    total = sum(w.values())
+    leaked = total - w.get(4, 0.0)
+    assert total > 0
+    assert leaked < 1e-20 * total, (leaked / total, sorted(w.items()))
+    # and the state actually descends toward the N-sector ED ground
+    e, e_ed = _ntot_sector_energy(model, ly, lx, v, 4)
+    assert e >= e_ed - 1e-9
+    assert e < e_ed + 0.2 * abs(e_ed), (e, e_ed)
+
+
+def test_su_tj_u1_fixed_hole_count_vs_sector_ed():
+    """Extended check: t-J SU with U(1) charges at fixed hole count — zero
+    leakage out of the (N_up, N_dn) sector AND convergence near the sector
+    ED ground energy."""
+    model = tj_model(3.0, 1.0)
+    ly, lx, D = 2, 3, 5
+    occ0 = np.array([[1, 2, 0], [2, 1, 0]])   # 2 up, 2 dn, 2 holes
+    peps, space = _run_su_u1(model, ly, lx, D, occ0,
+                             [(80, 0.2), (80, 0.05)])
+    v = coeffs_vec(peps, space, ly, lx)
+    w = _sector_weights(model, ly, lx, v)
+    total = sum(w.values())
+    leaked = total - w.get(4, 0.0)
+    assert leaked < 1e-20 * total, (leaked / total, sorted(w.items()))
+    e, e_ed = _ntot_sector_energy(model, ly, lx, v, 4)
+    assert e >= e_ed - 1e-9
+    assert e < e_ed + 0.15 * abs(e_ed), (e, e_ed)
