@@ -190,15 +190,22 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
             "in-row horizontal bond pairs)",
             lambda ctx: tj_singlet_pair_corr_graded(
                 ctx.tps, ctx.config, mt.space, ctx.chi, ctx.trunc, "row"),
-            None, ("y", "x1", "x2")))
+            None, ("y", "x1", "x2"), needs_envs=True))
         registry.append(Observable(
             "pair_corr_col", "t-J singlet pair correlation (graded state, "
             "in-column vertical bond pairs)",
             lambda ctx: tj_singlet_pair_corr_graded(
                 ctx.tps, ctx.config, mt.space, ctx.chi, ctx.trunc, "col"),
-            None, ("x", "y1", "y2")))
+            None, ("x", "y1", "y2"), needs_envs=True))
     nc = configs.shape[0]
     tps_t = transpose_tps(tps)
+    # Split the observable graph (compile-time control at production sizes:
+    # one fused sweep+walkers graph took ~10 min of XLA at 8x8 D=8): cheap
+    # (diagonal) observables ride the sample-collection scan; env-walker
+    # observables run afterwards in SEPARATELY-JITTED chunked passes over
+    # the collected configurations, sharing ONE env-stack build per config.
+    cheap_obs = [ob for ob in registry if not ob.needs_envs]
+    env_obs = [ob for ob in registry if ob.needs_envs]
 
     def per_sample(cfg):
         res = local_fn(tps, cfg, mt, chi, trunc,
@@ -206,9 +213,10 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
         ctx = MeasureContext(tps, tps_t, cfg, jnp.real(res.e_loc), chi,
                              trunc)
         out = {"energy": jnp.real(res.e_loc)}
-        for ob in registry:
+        for ob in cheap_obs:
             out[ob.key] = ob.compute(ctx)
         out["log_abs_psi"] = res.log_abs_psi
+        out["_config"] = cfg
         return out
 
     def sweep_all(cfgs, k):
@@ -275,6 +283,34 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
     finally:
         for sig, h in old_handlers.items():
             signal.signal(sig, h)
+
+    cfgs_all = outs.pop("_config")               # [S, C, Ly, Lx]
+    if env_obs:
+        s_dim, c_dim = cfgs_all.shape[:2]
+        flat_cfgs = jnp.asarray(cfgs_all.reshape(-1, ly, lx))
+        build_stacks = any(ob.uses_stacks for ob in env_obs)
+        build_stacks_t = any(ob.uses_stacks_t for ob in env_obs)
+
+        def env_group(cfg):
+            stacks = stacks_t = None
+            if build_stacks:
+                stacks = bmps.all_env_stacks(project(tps, cfg), chi, trunc)
+            if build_stacks_t:
+                stacks_t = bmps.all_env_stacks(project(tps_t, cfg.T), chi,
+                                               trunc)
+            ctx = MeasureContext(tps, tps_t, cfg,
+                                 jnp.zeros((), tps.real.dtype
+                                           if jnp.iscomplexobj(tps)
+                                           else tps.dtype),
+                                 chi, trunc, stacks, stacks_t)
+            return {ob.key: ob.compute(ctx) for ob in env_obs}
+
+        env_chunk = min(8, flat_cfgs.shape[0])
+        env_fn = jax.jit(lambda cs: jax.lax.map(env_group, cs,
+                                                batch_size=env_chunk))
+        env_out = jax.tree.map(np.asarray, env_fn(flat_cfgs))
+        for k_name, arr in env_out.items():
+            outs[k_name] = arr.reshape((s_dim, c_dim) + arr.shape[1:])
 
     stats, metas = {}, {}
     for k_name, arr in outs.items():

@@ -21,13 +21,21 @@ import numpy as np
 
 
 class MeasureContext(NamedTuple):
-    """Per-sample inputs handed to Observable.compute (all traced)."""
+    """Per-sample inputs handed to Observable.compute (all traced).
+
+    stacks/stacks_t: optional precomputed env stacks of the projected
+    network (normal / transposed frame) shared by every env-walker
+    observable of the sample — computed once per config in the measurement
+    executor's env pass (kills the per-observable stack rebuilds that blew
+    up compile time at production sizes)."""
     tps: jnp.ndarray
     tps_t: jnp.ndarray
     config: jnp.ndarray
     e_loc: jnp.ndarray
     chi: int
     trunc: object
+    stacks: object = None
+    stacks_t: object = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -38,7 +46,9 @@ class Observable:
     compute: Callable                    # (MeasureContext) -> jnp array
     coords: Callable | None = None       # (ly, lx) -> [K, ncoord] int array
     index_labels: tuple = ()
-    needs_envs: bool = False             # uses BMPS walker scans (costly)
+    needs_envs: bool = False             # costly: run in the split env pass
+    uses_stacks: bool = False            # wants ctx.stacks prebuilt
+    uses_stacks_t: bool = False          # wants ctx.stacks_t prebuilt
 
 
 def site_coords(ly, lx):
@@ -95,7 +105,8 @@ def spin_registry(params) -> list:
 
         def spsm_row(ctx):
             tn = project(ctx.tps, ctx.config)
-            stacks = bmps.all_env_stacks(tn, ctx.chi, ctx.trunc)
+            stacks = ctx.stacks if ctx.stacks is not None else \
+                bmps.all_env_stacks(tn, ctx.chi, ctx.trunc)
             return jnp.real(_row_offdiag_corr(
                 ctx.tps, tn, ctx.config, jnp.asarray(sp, ctx.tps.dtype),
                 jnp.asarray(sm, ctx.tps.dtype), ctx.chi, ctx.trunc, stacks))
@@ -103,17 +114,19 @@ def spin_registry(params) -> list:
         def spsm_col(ctx):
             cfg_t = ctx.config.T
             tn_t = project(ctx.tps_t, cfg_t)
-            stacks = bmps.all_env_stacks(tn_t, ctx.chi, ctx.trunc)
+            stacks = ctx.stacks_t if ctx.stacks_t is not None else \
+                bmps.all_env_stacks(tn_t, ctx.chi, ctx.trunc)
             return jnp.real(_row_offdiag_corr(
                 ctx.tps_t, tn_t, cfg_t, jnp.asarray(sp, ctx.tps.dtype),
                 jnp.asarray(sm, ctx.tps.dtype), ctx.chi, ctx.trunc, stacks))
 
         obs.append(Observable(
             "spsm_row", "In-row <S+_i S-_j> (S+S- walker channel)",
-            spsm_row, None, ("y", "x1", "x2"), needs_envs=True))
+            spsm_row, None, ("y", "x1", "x2"), needs_envs=True,
+            uses_stacks=True))
         obs.append(Observable(
             "spsm_col", "In-column <S+_i S-_j>", spsm_col, None,
-            ("x", "y1", "y2"), needs_envs=True))
+            ("x", "y1", "y2"), needs_envs=True, uses_stacks_t=True))
     return obs
 
 

@@ -84,6 +84,17 @@ def _pair_table(lenv, renv, t1, t2, b1, b2, cands1, cands2):
     return jnp.einsum("kABC,jABC->kj", h1, h2)
 
 
+def _right_blocks(rights, top, bot, cands, lx):
+    """Right candidate blocks of every bond in a row, batched:
+    rblk[x, j, a, l, c] = renv[x+2] * top[x+1] * cands[x+1, j] * bot[x+1].
+    Precomputing these halves the sequential per-bond op count — the bond
+    scan then does only the left chain + one dot (the left chain's
+    candidate slice doubles as the accepted-site env transfer)."""
+    h2 = jnp.einsum("xArC,xauA->xurCa", rights[2:], top[1:])
+    h2 = jnp.einsum("xurCa,xjuldr->xjdCla", h2, cands[1:])
+    return jnp.einsum("xjdCla,xcdC->xjalc", h2, bot[1:])
+
+
 class SweepStats(NamedTuple):
     accepted: jnp.ndarray
     trials: jnp.ndarray
@@ -114,10 +125,15 @@ def _sweep_rows(tps, config, key, chi, trunc: TruncParams, rule: UpdateRule,
 
     def bond_step(carry, xs):
         lenv, c_cur, field, key, acc, tri = carry
-        t1, b1, t2, b2, renv, cands1, cands2, c2, i1 = xs
+        t1, b1, rblk, cands1, c2, i1 = xs
         i2 = i1 + 1
         key, k_pick = jax.random.split(key)
-        table = _pair_table(lenv, renv, t1, t2, b1, b2, cands1, cands2)
+        # left chain over all first-site candidates; the accepted slice IS
+        # the transferred left env (no separate transfer contraction)
+        h1 = jnp.einsum("alc,auA->luAc", lenv, t1)
+        h1 = jnp.einsum("luAc,kuldr->kdArc", h1, cands1)
+        h1 = jnp.einsum("kdArc,cdC->kArC", h1, b1)
+        table = jnp.einsum("kABC,jABC->kj", h1, rblk)
         if dress is not None:
             n1, n2 = nv[c_cur], nv[c2]
             v12 = dress.v[i1, i2]
@@ -152,8 +168,7 @@ def _sweep_rows(tps, config, key, chi, trunc: TruncParams, rule: UpdateRule,
             tri = tri + 1
         if dress is not None:
             field = field + dress.v[:, i1] * (nv[new1] - nv[c_cur])                 + dress.v[:, i2] * (nv[new2] - nv[c2])
-        s1_new = cands1[new1]
-        lenv = bmps._col_transfer_left(lenv, t1, s1_new, b1)
+        lenv = h1[new1]
         n = jnp.maximum(jnp.linalg.norm(lenv),
                         jnp.finfo(lenv.real.dtype).tiny)
         lenv = lenv / n
@@ -169,8 +184,9 @@ def _sweep_rows(tps, config, key, chi, trunc: TruncParams, rule: UpdateRule,
         key, k_row = jax.random.split(key)
         init = (l0, cfg_row[0], field, k_row, jnp.zeros((), jnp.int32),
                 jnp.zeros((), jnp.int32))
-        xs_in = (top[:lx - 1], bot[:lx - 1], top[1:], bot[1:], rights[2:],
-                 tps_row[:lx - 1], tps_row[1:], cfg_row[1:],
+        rblks = _right_blocks(rights, top, bot, tps_row, lx)
+        xs_in = (top[:lx - 1], bot[:lx - 1], rblks,
+                 tps_row[:lx - 1], cfg_row[1:],
                  y * lx + jnp.arange(lx - 1))
         (l_f, c_last, field, _, acc, tri), new_heads = jax.lax.scan(
             bond_step, init, xs_in)

@@ -53,7 +53,7 @@ def contract_net(net):
             operands.append(t)
             operands.append([nm("v", y, x), nm("h", y, x),
                              nm("v", y + 1, x), nm("h", y, x + 1)])
-    return complex(np.einsum(*operands, optimize="greedy")).real
+    return complex(np.einsum(*operands, optimize="greedy").item()).real
 
 
 def random_graded_tps(model, ly, lx, D, seed):
