@@ -22,16 +22,17 @@ TPU re-design:
 Ring convention: sites 1=TL, 2=TR, 3=BR, 4=BL; direction 1->2->3->4->1;
 per-site (in, out) loop legs: 1:(d, r), 2:(l, d), 3:(u, l), 4:(r, u).
 
-STATUS: production-capable. One sequential CG-FET pass per plaquette
-achieves 1.5e-11 per-step infidelity on an exactly-representable 2x2 at
-tau=0.05 (the gate absorption itself is exact to 1e-11). On 4x4/D=4
-Heisenberg a loop evolution from a short-SU warm start drops BELOW the
-fully converged simple-update energy within ~10 steps (-9.0152 vs
-e_su=-8.99994, ED -9.18921) and then hovers in a tight band around e_su
-(the fixed-tau truncation-noise equilibrium of the mean-field ring
-environment — the same band the reference operates in; it abandoned loop
-update for production efficiency, overview_cn.md §2). Use best-state
-tracking over the trajectory, as the long-evolution test does.
+STATUS: production-capable, and BEATS converged simple update. One
+sequential CG-FET pass per plaquette achieves 1.5e-11 per-step infidelity
+on an exactly-representable 2x2 at tau=0.05 (the gate absorption itself is
+exact to 1e-11). On 4x4/D=4 Heisenberg a loop evolution from a short-SU
+warm start drops strictly BELOW the fully converged simple-update energy
+(best-state tracking; asserted at > 1e-4 below e_su and strictly closer to
+ED by tests/test_loop_update.py::test_loop_update_long_evolution...), then
+hovers in a tight band around e_su (the fixed-tau truncation-noise
+equilibrium of the mean-field ring environment — the same band the
+reference operates in; it abandoned loop update for production efficiency,
+overview_cn.md §2).
 """
 from __future__ import annotations
 
