@@ -556,3 +556,41 @@ def fermion_simple_update(peps: PEPS, model, space: FermionSpace,
         e_prev = e0
     return SimpleUpdateResult(peps, history[-1] if history else float("nan"),
                               en, step, converged, history)
+
+
+def expand_bond_dim_graded(tps: jnp.ndarray, space: FermionSpace,
+                           new_space: FermionSpace,
+                           noise: float = 0.0, key=None) -> jnp.ndarray:
+    """Embed a graded TPS into a larger bond space, preserving the state
+    exactly (reference: qlten `Expand` on graded indices, the D-increase
+    workflow). Unlike the bosonic pad, slots must land INSIDE their parity
+    block of the [even | odd] layout: even slots 0..de-1 -> 0..de'-1, odd
+    slots de..D-1 -> de'..de'+do-1. Optional noise seeds the new slots on
+    PARITY-CONSERVING entries only (anything else would leave the even
+    sector and corrupt amplitudes)."""
+    ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
+    de, do = space.d_even, space.d_odd
+    ne, no = new_space.d_even, new_space.d_odd
+    assert ne >= de and no >= do, ((de, do), (ne, no))
+    assert new_space.phys_parity == space.phys_parity
+    dn = ne + no
+    idx = np.concatenate([np.arange(de), ne + np.arange(do)])
+    out = jnp.zeros((ly, lx, d) + (dn,) * 4, tps.dtype)
+    out = out.at[np.ix_(range(ly), range(lx), range(d),
+                        idx, idx, idx, idx)].set(tps)
+    if noise > 0.0:
+        assert key is not None, "noise > 0 needs a PRNG key"
+        from peps_tpu.fermion.graded import parity_mask, GT
+        from peps_tpu.lattice import boundary_mask
+        pb = new_space.bond_parity
+        pmask = parity_mask(GT(out[0, 0], (new_space.phys_parity,) + (pb,) * 4,
+                               (False, True, True, False, False)))
+        full = jax.random.normal(key, out.shape, out.dtype) * noise
+        keep_old = jnp.zeros(out.shape, bool)
+        keep_old = keep_old.at[np.ix_(range(ly), range(lx), range(d),
+                                      idx, idx, idx, idx)].set(True)
+        bmask = jnp.asarray(boundary_mask(ly, lx, d, dn),
+                            dtype=out.real.dtype)
+        out = out + jnp.where(keep_old, 0.0, full) \
+            * jnp.asarray(pmask, out.dtype)[None, None] * bmask
+    return out

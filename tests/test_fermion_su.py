@@ -297,3 +297,28 @@ def test_su_tj_u1_fixed_hole_count_vs_sector_ed():
     e, e_ed = _ntot_sector_energy(model, ly, lx, v, 4)
     assert e >= e_ed - 1e-9
     assert e < e_ed + 0.15 * abs(e_ed), (e, e_ed)
+
+
+@pytest.mark.fast
+def test_expand_bond_dim_graded_preserves_state():
+    """Graded D-increase (qlten Expand analogue): slot embedding inside the
+    [even|odd] parity blocks preserves every amplitude exactly; noisy
+    expansion stays in the even sector and close to the original."""
+    from peps_tpu.fermion.peps import (FermionSpace, expand_bond_dim_graded,
+                                       space_for_model)
+    from peps_tpu.fermion.vmc import log_abs_psi_fermion
+    model = tj_model(3.0, 1.0)
+    ly, lx, D = 2, 3, 4
+    occ0 = np.array([[1, 2, 0], [2, 1, 0]])
+    peps, space = _run_su(model, ly, lx, D, occ0, [(30, 0.2)])
+    tps = to_tps_fermion(peps)
+    tps = tps / jnp.max(jnp.abs(tps))
+    new_space = FermionSpace(space.phys_parity, 4, 4)
+    tps8 = expand_bond_dim_graded(tps, space, new_space)
+    tp = TruncParams(16, 1, 0.0)
+    for cfg in (occ0, occ0[::-1], occ0[:, ::-1]):
+        c = jnp.asarray(cfg)
+        la0, m0 = log_abs_psi_fermion(tps, c, space, 16, tp)
+        la1, m1 = log_abs_psi_fermion(tps8, c, new_space, 16, tp)
+        assert abs(float(la0) - float(la1)) < 1e-10
+        assert float(jnp.sign(m0) * jnp.sign(m1)) == 1.0
