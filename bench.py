@@ -6,22 +6,31 @@ energy + gradient holes for every chain] + [SR natural gradient via
 matrix-free CG] + [parameter update] — the reference's per-iteration work
 (mc_energy_grad_evaluator.h + optimizer SR path), not just the sweep.
 
-Extra fields:
-  flops_per_step / mfu_bf16  — XLA cost_analysis FLOPs and the fraction of
-      a v5e chip's 197 TFLOP/s bf16 peak (conservative: we run f32).
-  accuracy_rel_diff          — |E_sketch - E_svd| / |E_svd| of the local
-      energies on identical configurations: the accuracy gate for the
-      matmul-only randomized "sketch" compression used by the bench.
-  samples_per_sec            — chains x steps / sec (the unit the baseline
-      chain of inference is expressed in).
+Round-3 accounting fields (VERDICT r2 ask):
+  sweeps_per_sec_sweep_only  — MC chain-sweeps/s, sweep kernel alone (the
+      round-1 metric, for round-over-round comparability).
+  chains_scaling             — samples/s at 32 and 128 chains. Measured
+      flat (linear time growth): the sweep+eval work is genuinely
+      per-chain compute, NOT a latency floor — more chains per chip do
+      not help; scale chains ACROSS chips (parallel/mesh.py).
+  flops_per_step / mfu_bf16  — XLA cost_analysis FLOPs; fraction of the
+      197 TFLOP/s bf16 peak.
+  bytes_per_step / mbu_hbm   — cost_analysis bytes accessed; fraction of
+      the 819 GB/s v5e HBM peak. Both utilizations are low (<1% MFU,
+      ~10% MBU): at chi=32/D=8 the physical tensors are [32,8,32]-sized
+      and the program is bound by op-granularity on such shapes, not by
+      either roofline (docs/tpu_engineering.md "Round-3 measurements").
+  graded_tj_6x6_D8           — secondary fermionic config: full graded
+      train step (env-shared fermionic sweep + AD holes + SR) on a 6x6
+      t-J state with 2 holes at D=8 chi=32.
+  accuracy_rel_diff          — |E_sketch - E_svd| / |E_svd| on identical
+      configurations: the accuracy gate for the randomized "sketch"
+      compression used by the bench.
   baseline_estimated: true   — the reference CANNOT be built here (its
       qlten/qlmps dependencies are external CMake packages, not vendored,
       and this machine has no network egress), so vs_baseline rests on the
-      reference's only published wall-clock log (BASELINE.md: 3x4
-      Heisenberg D=8, 40 SR iters x 100 samples + 1000 measure samples in
-      159.5 s on 4 MPI ranks, Apple M3 Pro) scaled by the standard BMPS
-      cost model; every factor of that chain is computed below in
-      `baseline_samples_per_sec()`.
+      reference's only published wall-clock log (BASELINE.md) scaled by
+      the standard BMPS cost model; see `baseline_samples_per_sec()`.
 """
 import json
 import time
@@ -35,6 +44,7 @@ CHI = 32
 NCHAINS = 32
 DTYPE = jnp.float32
 PEAK_BF16 = 197e12        # v5e chip peak (TFLOP/s)
+PEAK_HBM = 819e9          # v5e HBM bandwidth (bytes/s)
 
 
 def baseline_samples_per_sec():
@@ -42,40 +52,51 @@ def baseline_samples_per_sec():
 
     Chain of inference (all numbers from BASELINE.md's recorded run):
       - 159.5 s for 40 SR iterations x 100 samples + 1000 measurement
-        samples on 4 ranks => 5000 sweeps total (sweep == sample there)
-        => 5000/159.5 = 31.3 samples/s across 4 ranks at 3x4, D<=8, small
-        chi (the run log does not state chi; D'=6 after SU, chi' ~ 2D').
+        samples on 4 ranks => 5000 sweeps total => 31.3 samples/s across
+        4 ranks at 3x4, D<=8, small chi.
       - BMPS sweep cost model (SURVEY.md section 3.3):
-        cost ~ N * chi^2 * D^2 * (D^2 + chi) per sweep.
-        3x4:  12 * 12^2 * 6^2 * (36 + 12)   = 2.99e6
-        8x8:  64 * 32^2 * 8^2 * (64 + 32)   = 4.03e8
-        ratio ~ 134.8.
-      - => baseline ~ 31.3 / 134.8 = 0.232 samples/s (4 M3 cores), i.e.
-        0.058 samples/s per core; we compare a TPU chip against the 4-rank
-        figure (chip vs. laptop-package).
-    """
+        cost ~ N * chi^2 * D^2 * (D^2 + chi) per sweep; ratio 3x4 -> 8x8
+        at the bench chi/D ~ 134.8.
+      - => baseline ~ 31.3 / 134.8 = 0.232 samples/s (4 M3 cores)."""
     samples_per_sec_3x4 = 5000.0 / 159.5
     cost_3x4 = 12 * 12 ** 2 * 6 ** 2 * (6 ** 2 + 12)
     cost_8x8 = 64 * CHI ** 2 * D ** 2 * (D ** 2 + CHI)
     return samples_per_sec_3x4 * (cost_3x4 / cost_8x8)
 
 
+def _sync(*xs):
+    """Fence by materializing host scalars (block_until_ready is a no-op
+    through the axon tunnel)."""
+    return sum(float(jnp.sum(x)) for x in xs)
+
+
+def _cost(fn, *args):
+    try:
+        cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return (float(cost.get("flops", float("nan"))),
+                float(cost.get("bytes accessed", float("nan"))))
+    except Exception:
+        return float("nan"), float("nan")
+
+
 def main():
-    from peps_tpu.algorithm.energy import ModelTensors
+    import numpy as np
+
+    from peps_tpu.algorithm.energy import ModelTensors, local_energy_and_holes
     from peps_tpu.algorithm.mc_evaluator import _mc_collect
+    from peps_tpu.lattice import transpose_tps
     from peps_tpu.linalg import TruncParams
     from peps_tpu.models import spin
     from peps_tpu.montecarlo.engine import init_configs_occupancy
-    from peps_tpu.montecarlo.sweep import UpdateRule
+    from peps_tpu.montecarlo.sweep import UpdateRule, mc_sweep
     from peps_tpu.optimizer.cg import CGParams, cg_solve
-
-    import numpy as np
     from peps_tpu.peps import (SimpleUpdateParams, product_peps,
                                simple_update, to_tps)
 
     # physical initial state: short simple update (random states at this
-    # size are pathologically conditioned and make both the benchmark and
-    # the accuracy gate meaningless)
+    # size are pathologically conditioned)
     model_su = spin.heisenberg(1.0)
     occ = np.indices((LY, LX)).sum(0) % 2
     peps0 = product_peps(LY, LX, D, occ, 2, dtype=DTYPE)
@@ -84,17 +105,20 @@ def main():
                                           trunc=TruncParams(D, 1, 1e-8)))
     tps = to_tps(su.peps)
     tps = tps / jnp.max(jnp.abs(tps))
+    tps_t = transpose_tps(tps)
     n = LY * LX
-    configs = init_configs_occupancy(jax.random.PRNGKey(1), NCHAINS, LY, LX,
-                                     {0: n // 2, 1: n - n // 2})
     model = ModelTensors.from_model(spin.heisenberg(1.0), DTYPE)
     trunc = TruncParams(CHI, 1, 1e-6, scheme="sketch")
     rule = UpdateRule("exchange")
     diag_shift = 1e-3
     lr = 0.05
 
+    def make_configs(nch):
+        return init_configs_occupancy(jax.random.PRNGKey(1), nch, LY, LX,
+                                      {0: n // 2, 1: n - n // 2})
+
     def train_step(tps, configs, key):
-        """Sweep + energy/holes + SR CG + update (one optimizer iteration)."""
+        """Sweep + energy/holes + SR CG + update (one optimizer iter)."""
         cfgs, key, acc, tri, outs = _mc_collect(
             tps, configs, key, model, CHI, trunc, rule,
             n_samples=1, sweeps_between=1, with_sr=True, eval_chunk=8)
@@ -113,9 +137,6 @@ def main():
 
         res = cg_solve(matvec, grad, None, CGParams(max_iter=30, tol=1e-5))
         new_tps = tps - lr * res.x.reshape(tps.shape).astype(tps.dtype)
-        # per-step O(1) renormalization (NormalizeStateOrder1's role in the
-        # real pipeline): without it amplitudes ~ s^64 overflow f32 within
-        # a few updates
         new_tps = new_tps / jnp.max(jnp.abs(new_tps))
         return new_tps, cfgs, key, energy
 
@@ -128,37 +149,66 @@ def main():
                                                None, length=k)
         return es[-1], configs
 
+    # ---- headline: full train step at 32 chains ----
+    configs = make_configs(NCHAINS)
     f = jax.jit(run_steps, static_argnames=("k",))
     n_steps = 4
-    # compile + warm-up with the SAME static k as the timed call.
-    # Synchronize by MATERIALIZING host values: on remote-attached TPU
-    # runtimes (axon tunnel) jax.block_until_ready can be a no-op — only a
-    # device->host transfer reliably fences the timing.
     e, cfgs = f(tps, configs, jax.random.PRNGKey(2), n_steps)
-    _ = float(e) + float(jnp.sum(cfgs))
-
+    _sync(e, cfgs)
     t0 = time.time()
     e, cfgs2 = f(tps, cfgs, jax.random.PRNGKey(3), n_steps)
-    e_host = float(e) + 0.0 * float(jnp.sum(cfgs2))
+    e_host = float(e) + 0.0 * _sync(cfgs2)
     dt = time.time() - t0
     assert np.isfinite(e_host), f"training-step energy not finite: {e}"
     steps_per_sec = n_steps / dt
     samples_per_sec = steps_per_sec * NCHAINS
 
-    # FLOP accounting
-    try:
-        lowered = jax.jit(train_step).lower(tps, configs,
-                                            jax.random.PRNGKey(4))
-        cost = lowered.compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", float("nan")))
-    except Exception:
-        flops = float("nan")
-    mfu = (flops * steps_per_sec / PEAK_BF16) if flops == flops else None
+    flops, bytes_ = _cost(train_step, tps, configs, jax.random.PRNGKey(4))
+    mfu = flops * steps_per_sec / PEAK_BF16
+    mbu = bytes_ * steps_per_sec / PEAK_HBM
 
-    # accuracy gate: fast vs svd mean local energy on identical configs
-    from peps_tpu.algorithm.energy import local_energy_and_holes
+    # ---- sweep-only throughput (round-1 metric) + chains scaling ----
+    def sweep_k(configs, key, k):
+        nc = configs.shape[0]
+
+        def body(carry, _):
+            configs, key = carry
+            keys = jax.random.split(key, nc + 1)
+            out, _, st = jax.vmap(
+                mc_sweep, in_axes=(None, None, 0, 0, None, None, None))(
+                tps, tps_t, configs, keys[1:], CHI, trunc, rule)
+            return (out, keys[0]), jnp.sum(st.accepted)
+
+        (configs, _), accs = jax.lax.scan(body, (configs, key), None,
+                                          length=k)
+        return configs, accs[-1]
+
+    fs = jax.jit(sweep_k, static_argnames=("k",))
+    chains_scaling = {}
+    sweeps_only_32 = None
+    for nch in (32, 128):
+        cfgs_n = make_configs(nch)
+        k = 4
+        out, a = fs(cfgs_n, jax.random.PRNGKey(5), k)
+        _sync(out, a)
+        t0 = time.time()
+        out, a = fs(out, jax.random.PRNGKey(6), k)
+        _sync(out, a)
+        dtn = time.time() - t0
+        chains_scaling[str(nch)] = {
+            "sweeps_per_sec": round(nch * k / dtn, 1),
+            "sec_per_sweep_step": round(dtn / k, 4)}
+        if nch == 32:
+            sweeps_only_32 = nch * k / dtn
+
+    # ---- graded fermionic secondary config: 6x6 t-J 2 holes D=8 ----
+    graded = {}
+    try:
+        graded = _graded_config()
+    except Exception as ex:             # keep the headline alive
+        graded = {"error": str(ex)[:200]}
+
+    # ---- accuracy gate: sketch vs svd local energies ----
     sub = cfgs[:16]
     tr_svd = TruncParams(CHI, 1, 1e-6, scheme="svd")
 
@@ -173,11 +223,9 @@ def main():
     es_ = e_locs_of(tr_svd)
     finite = np.isfinite(ef) & np.isfinite(es_)
     n_bad = int((~finite).sum())
-    if finite.any():
-        acc_rel = float(np.max(np.abs(ef[finite] - es_[finite])
-                               / np.maximum(np.abs(es_[finite]), 1e-12)))
-    else:
-        acc_rel = float("nan")
+    acc_rel = (float(np.max(np.abs(ef[finite] - es_[finite])
+                            / np.maximum(np.abs(es_[finite]), 1e-12)))
+               if finite.any() else float("nan"))
 
     base = baseline_samples_per_sec()
     print(json.dumps({
@@ -186,13 +234,100 @@ def main():
         "unit": "steps/sec/chip (1 step = 32-chain sweep + energy/holes + SR-CG + update)",
         "vs_baseline": round(samples_per_sec / base, 2),
         "samples_per_sec": round(samples_per_sec, 2),
+        "sweeps_per_sec_sweep_only": round(sweeps_only_32, 1),
+        "chains_scaling": chains_scaling,
         "baseline_samples_per_sec_estimated": round(base, 4),
         "baseline_estimated": True,
         "flops_per_step": flops,
-        "mfu_bf16": round(mfu, 4) if mfu is not None else None,
+        "bytes_per_step": bytes_,
+        "mfu_bf16": round(mfu, 5),
+        "mbu_hbm": round(mbu, 4),
+        "graded_tj_6x6_D8": graded,
         "accuracy_rel_diff_sketch_vs_svd": round(acc_rel, 8),
         "accuracy_nonfinite_configs": n_bad,
     }))
+
+
+def _graded_config():
+    """Full graded train step on 6x6 t-J, 2 holes, D=8 chi=32, 32 chains
+    (VERDICT r2 #3 done criterion). State: graded SU at D=4 with U(1)
+    charges, parity-block-expanded to D=8."""
+    import numpy as np
+
+    from peps_tpu.algorithm.mc_evaluator import _mc_collect
+    from peps_tpu.fermion.peps import (FermionSpace, expand_bond_dim_graded,
+                                       fermion_simple_update,
+                                       product_fermion_peps,
+                                       space_for_model, to_tps_fermion,
+                                       u1_charges_for)
+    from peps_tpu.fermion.vmc import GradedFermionModel
+    from peps_tpu.linalg import TruncParams
+    from peps_tpu.models.fermion import tj_model
+    from peps_tpu.optimizer.cg import CGParams, cg_solve
+    from peps_tpu.peps import SimpleUpdateParams
+
+    ly = lx = 6
+    chi = 32
+    nchains = 32
+    model = tj_model(3.0, 1.0)
+    occ0 = (np.indices((ly, lx)).sum(0) % 2 + 1).astype(int)
+    occ0[2, 2] = 0
+    occ0[3, 3] = 0
+    space4 = space_for_model(model, 4)
+    charges = u1_charges_for(model, space4, occ0)
+    peps = product_fermion_peps(ly, lx, space4, occ0)
+    out = fermion_simple_update(
+        peps, model, space4,
+        SimpleUpdateParams(steps=40, tau=0.1, trunc=TruncParams(4, 1, 1e-12)),
+        charges=charges)
+    tps4 = to_tps_fermion(out.peps).astype(DTYPE)
+    tps4 = tps4 / jnp.max(jnp.abs(tps4))
+    space8 = FermionSpace(space4.phys_parity, 4, 4)
+    tps = expand_bond_dim_graded(tps4, space4, space8, noise=1e-3,
+                                 key=jax.random.PRNGKey(11))
+    gm = GradedFermionModel.from_model(model, space8, tps.dtype)
+    trunc = TruncParams(chi, 1, 1e-6, scheme="sketch")
+    cfgs = jnp.asarray(np.stack(
+        [occ0, occ0[::-1], occ0[:, ::-1], occ0[::-1, ::-1]] * (nchains // 4)
+    ).astype(np.int32))
+
+    def train_step(tps, configs, key):
+        cfgs, key, acc, tri, outs = _mc_collect(
+            tps, configs, key, gm, chi, trunc, None,
+            n_samples=1, sweeps_between=1, with_sr=True, eval_chunk=8)
+        e_locs, o_full, _, _, _ = outs
+        ns = e_locs.size
+        energy = jnp.mean(jnp.real(e_locs))
+        o_flat = o_full.reshape(ns, -1)
+        obar = jnp.mean(o_flat, axis=0)
+        a = (o_flat - obar[None, :]) / jnp.sqrt(ns * 1.0).astype(o_flat.dtype)
+        eps = 2.0 * (e_locs.reshape(ns) - energy).astype(o_flat.dtype) \
+            / jnp.sqrt(ns * 1.0).astype(o_flat.dtype)
+        grad = a.T @ eps
+
+        def matvec(v):
+            return a.T @ (a @ v) + 1e-3 * v
+
+        res = cg_solve(matvec, grad, None, CGParams(max_iter=30, tol=1e-5))
+        return tps - 0.05 * res.x.reshape(tps.shape), cfgs, key, energy
+
+    f = jax.jit(train_step)
+    new_tps, c2, _, e = f(tps, cfgs, jax.random.PRNGKey(2))
+    _sync(c2)
+    e0 = float(e)
+    t0 = time.time()
+    k = 3
+    cur = cfgs
+    for i in range(k):
+        new_tps, cur, _, e = f(tps, cur, jax.random.fold_in(
+            jax.random.PRNGKey(3), i))
+    e_host = float(e) + 0.0 * _sync(cur)
+    dt = (time.time() - t0) / k
+    import numpy as _np
+    assert _np.isfinite(e_host), "graded bench energy not finite"
+    return {"config": "6x6 tJ 2holes D=8 chi=32, 32 chains",
+            "steps_per_sec": round(1.0 / dt, 4),
+            "samples_per_sec": round(nchains / dt, 2)}
 
 
 if __name__ == "__main__":

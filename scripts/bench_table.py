@@ -1,0 +1,108 @@
+"""Regenerate the README sweep-throughput table (single chip, f32).
+
+Run on the TPU: python scripts/bench_table.py [quick]
+Prints the markdown table; every README number comes from this script.
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from peps_tpu.lattice import BoundaryCondition, transpose_tps
+from peps_tpu.linalg import TruncParams
+from peps_tpu.models import spin
+from peps_tpu.montecarlo.engine import init_configs_occupancy
+from peps_tpu.montecarlo.sweep import UpdateRule, mc_sweep
+from peps_tpu.montecarlo.sweep_pbc import mc_sweep_pbc
+from peps_tpu.peps import (SimpleUpdateParams, product_peps, simple_update,
+                           to_tps)
+
+NCH = 32
+DTYPE = jnp.float32
+
+CONFIGS = [
+    # (label, ly, lx, D, chi, bc)
+    ("8x8", 8, 8, 8, 32, "obc"),
+    ("8x8 PBC (TRG)", 8, 8, 8, 32, "pbc"),
+    ("10x10", 10, 10, 8, 32, "obc"),
+    ("16x16", 16, 16, 8, 32, "obc"),
+    ("12x12", 12, 12, 10, 40, "obc"),
+    ("16x16 (stretch)", 16, 16, 12, 48, "obc"),
+]
+
+
+def su_state(ly, lx, D, steps=60):
+    model = spin.heisenberg(1.0)
+    occ = np.indices((ly, lx)).sum(0) % 2
+    peps0 = product_peps(ly, lx, D, occ, 2, dtype=DTYPE)
+    su = simple_update(peps0, model.h_h, model.h_v,
+                       SimpleUpdateParams(steps=steps, tau=0.1,
+                                          trunc=TruncParams(D, 1, 1e-8)))
+    tps = to_tps(su.peps)
+    return tps / jnp.max(jnp.abs(tps))
+
+
+def measure_row(label, ly, lx, D, chi, bc, quick):
+    tps = su_state(ly, lx, D, steps=30 if quick else 60)
+    n = ly * lx
+    trunc = TruncParams(chi, 1, 1e-6, scheme="sketch")
+    rule = UpdateRule("exchange")
+    configs = init_configs_occupancy(jax.random.PRNGKey(1), NCH, ly, lx,
+                                     {0: n // 2, 1: n - n // 2})
+    keys0 = jax.random.PRNGKey(2)
+    if bc == "pbc":
+        def sweep_k(configs, key, k):
+            def body(carry, _):
+                configs, key = carry
+                ks = jax.random.split(key, NCH + 1)
+                out, _, st = jax.vmap(
+                    mc_sweep_pbc, in_axes=(None, 0, 0, None, None, None))(
+                    tps, configs, ks[1:], chi, trunc, rule)
+                return (out, ks[0]), jnp.sum(st.accepted)
+            (configs, _), accs = jax.lax.scan(body, (configs, key), None,
+                                              length=k)
+            return configs, accs[-1]
+    else:
+        tps_t = transpose_tps(tps)
+
+        def sweep_k(configs, key, k):
+            def body(carry, _):
+                configs, key = carry
+                ks = jax.random.split(key, NCH + 1)
+                out, _, st = jax.vmap(
+                    mc_sweep,
+                    in_axes=(None, None, 0, 0, None, None, None))(
+                    tps, tps_t, configs, ks[1:], chi, trunc, rule)
+                return (out, ks[0]), jnp.sum(st.accepted)
+            (configs, _), accs = jax.lax.scan(body, (configs, key), None,
+                                              length=k)
+            return configs, accs[-1]
+
+    f = jax.jit(sweep_k, static_argnames=("k",))
+    k = 2 if quick else 4
+    out, a = f(configs, keys0, k)
+    _ = float(jnp.sum(out)) + float(a)
+    t0 = time.time()
+    out, a = f(out, jax.random.PRNGKey(3), k)
+    _ = float(jnp.sum(out)) + float(a)
+    dt = time.time() - t0
+    rate = NCH * k / dt
+    print(f"| {label} | {D} | {chi} | {rate:.1f} |", flush=True)
+    return rate
+
+
+def main(quick=False):
+    print("| lattice | D | chi | chain-sweeps/sec |")
+    print("|---|---|---|---|")
+    for cfg in CONFIGS:
+        try:
+            measure_row(*cfg, quick)
+        except Exception as ex:
+            print(f"| {cfg[0]} | {cfg[3]} | {cfg[4]} | ERR "
+                  f"{str(ex)[:60]} |", flush=True)
+
+
+if __name__ == "__main__":
+    main(quick=(len(sys.argv) > 1 and sys.argv[1] == "quick"))
