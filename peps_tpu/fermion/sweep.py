@@ -91,13 +91,15 @@ def _bond_key(key, pass_id, y, x):
 
 
 def _h_row_kernel(top, bot, cands, cfg0, pi_d, key, y, chi, trunc,
-                  flip_row):
+                  flip_row, jrow=None):
     """One snake-direction (L->R frame) horizontal-bond pass over a row.
 
     top/bot: boundary rows [Lx, chi, D, chi]; cands: [Lx, d, 2, u,l,d,r]
     dressed candidates vs the CURRENT config; cfg0: row values at pass
-    start [Lx]; flip_row: [Lx, u,l,d,r] flip mask. Returns (new_cfg,
-    new_top, acc, tri)."""
+    start [Lx]; flip_row: [Lx, u,l,d,r] flip mask. jrow: optional Jastrow
+    data (nvals [d], field0 [Lx] at this row's sites, vrow [Lx, Lx] the
+    dress matrix restricted to this row, in kernel position order).
+    Returns (new_cfg, new_top, acc, tri)."""
     lx = cands.shape[0]
     dtype = cands.dtype
     rdt = cands.real.dtype if jnp.iscomplexobj(cands) else dtype
@@ -117,8 +119,13 @@ def _h_row_kernel(top, bot, cands, cfg0, pi_d, key, y, chi, trunc,
         e = bmps._col_transfer_left(e, t2, s2, b2)
         return jnp.sum(e * renv)
 
+    if jrow is not None:
+        nvals, field0, vrow = jrow
+    else:
+        nvals = field0 = vrow = None
+
     def bond_step(carry, xs):
-        lenv, c_cur, g_cur, acc, tri = carry
+        lenv, c_cur, g_cur, field, acc, tri = carry
         t1, b1, t2, b2, rn, rf, lwn, lwf, cands1, cands2, c2, p0_1, x = xs
         k = _bond_key(key, 0, y, x)
         pj_cur = g_cur ^ (pi_d[c_cur].astype(jnp.int32) ^ p0_1)
@@ -136,6 +143,13 @@ def _h_row_kernel(top, bot, cands, cfg0, pi_d, key, y, chi, trunc,
         ratio2 = (jnp.abs(psi_new) ** 2
                   / jnp.maximum(jnp.abs(psi_cur) ** 2, jnp.finfo(rdt).tiny)
                   * jnp.exp(2.0 * (lw_new - lw_cur)))
+        if jrow is not None:
+            # exchange (a, b) -> (b, a) at kernel positions (x, x+1):
+            # dlogJ = -delta (F_i - F_j) + delta^2 v_ij  (J = -1/2 nVn)
+            delta = nvals[c2] - nvals[c_cur]
+            dlog = (-delta * (field[x] - field[x + 1])
+                    + delta * delta * vrow[x, x + 1])
+            ratio2 = ratio2 * jnp.exp(2.0 * dlog)
         u = jax.random.uniform(k, (), rdt)
         differ = c_cur != c2
         accept = differ & (u < ratio2)
@@ -143,18 +157,22 @@ def _h_row_kernel(top, bot, cands, cfg0, pi_d, key, y, chi, trunc,
         new2 = jnp.where(accept, c_cur, c2)
         acc = acc + accept.astype(jnp.int32)
         tri = tri + differ.astype(jnp.int32)
+        if jrow is not None:
+            delta_acc = jnp.where(accept, nvals[c2] - nvals[c_cur], 0.0)
+            field = field + delta_acc * (vrow[:, x] - vrow[:, x + 1])
         lenv = _norm1(bmps._col_transfer_left(lenv, t1, cands1[new1, g_cur],
                                               b1), rdt)
         g_next = g_cur ^ (pi_d[new1].astype(jnp.int32) ^ p0_1)
-        return (lenv, new2, g_next, acc, tri), (new1, g_cur)
+        return (lenv, new2, g_next, field, acc, tri), (new1, g_cur)
 
     xs = (top[:lx - 1], bot[:lx - 1], top[1:], bot[1:],
           rights_n[2:], rights_f[2:], lw_n[2:], lw_f[2:],
           cands[:lx - 1], cands[1:], cfg0[1:],
           pi0[:lx - 1].astype(jnp.int32), jnp.arange(lx - 1))
-    init = (l0, cfg0[0], jnp.zeros((), jnp.int32),
+    field_init = field0 if jrow is not None else jnp.zeros((lx,), rdt)
+    init = (l0, cfg0[0], jnp.zeros((), jnp.int32), field_init,
             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-    (_, c_last, g_last, acc, tri), (heads, flags) = jax.lax.scan(
+    (_, c_last, g_last, _, acc, tri), (heads, flags) = jax.lax.scan(
         bond_step, init, xs)
     new_cfg = jnp.concatenate([heads, c_last[None]])
     flags_all = jnp.concatenate([flags, g_last[None]])
@@ -170,13 +188,15 @@ def _h_row_kernel(top, bot, cands, cfg0, pi_d, key, y, chi, trunc,
 
 
 def _v_pair_kernel(top, bot, cands1, cands2, cfg1, cfg2, pi_d, key, y,
-                   flip1, flip2):
+                   flip1, flip2, jwin=None):
     """One snake-direction (L->R frame) vertical-bond pass over a row pair.
 
     cands1/cands2: [Lx, d, 2, u,l,d,r] dressed candidates of the two rows vs
-    the current config; cfg1/cfg2: current values. Returns (new_cfg1,
-    new_cfg2, row1_final, acc, tri) — row1_final is the finalized dressed
-    upper row for the caller's top absorb."""
+    the current config; cfg1/cfg2: current values. jwin: optional Jastrow
+    data (nvals [d], field0 [2*Lx] over (row1 ++ row2) window sites, vwin
+    [2Lx, 2Lx]). Returns (new_cfg1, new_cfg2, row1_final, acc, tri) —
+    row1_final is the finalized dressed upper row for the caller's top
+    absorb."""
     lx, d = cands1.shape[0], cands1.shape[1]
     dtype = cands1.dtype
     rdt = cands1.real.dtype if jnp.iscomplexobj(cands1) else dtype
@@ -213,8 +233,13 @@ def _v_pair_kernel(top, bot, cands1, cands2, cfg1, cfg2, pi_d, key, y,
         e = bmps._col_transfer_left(lenv, t_x, sf, b_x)
         return jnp.sum(e * renv)
 
+    if jwin is not None:
+        nvals, field0, vwin = jwin
+    else:
+        nvals = field0 = vwin = None
+
     def bond_step(carry, xs):
-        lenv, g, acc, tri = carry
+        lenv, g, field, acc, tri = carry
         t_x, b_x, rn1, rf1, lwn1, lwf1, c1s, c2s, s1v, s2v, x = xs
         k = _bond_key(key, 1, y, x)
         f = pi_d[s1v].astype(jnp.int32) ^ pi_d[s2v].astype(jnp.int32)
@@ -230,6 +255,11 @@ def _v_pair_kernel(top, bot, cands1, cands2, cfg1, cfg2, pi_d, key, y,
         ratio2 = (jnp.abs(psi_new) ** 2
                   / jnp.maximum(jnp.abs(psi_cur) ** 2, jnp.finfo(rdt).tiny)
                   * jnp.exp(2.0 * (lw_new - lw_cur)))
+        if jwin is not None:
+            delta = nvals[s2v] - nvals[s1v]
+            dlog = (-delta * (field[x] - field[lx + x])
+                    + delta * delta * vwin[x, lx + x])
+            ratio2 = ratio2 * jnp.exp(2.0 * dlog)
         u = jax.random.uniform(k, (), rdt)
         differ = s1v != s2v
         accept = differ & (u < ratio2)
@@ -238,30 +268,40 @@ def _v_pair_kernel(top, bot, cands1, cands2, cfg1, cfg2, pi_d, key, y,
         g_new = jnp.where(accept, gj_new, g)
         acc = acc + accept.astype(jnp.int32)
         tri = tri + differ.astype(jnp.int32)
+        if jwin is not None:
+            delta_acc = jnp.where(accept, nvals[s2v] - nvals[s1v], 0.0)
+            field = field + delta_acc * (vwin[:, x] - vwin[:, lx + x])
         lenv = _norm1(bmps._col_transfer_left(
             lenv, t_x, fuse2(c1s[v1, g], c2s[v2, g_new]), b_x), rdt)
-        return (lenv, g_new, acc, tri), (v1, v2, g)
+        return (lenv, g_new, field, acc, tri), (v1, v2, g)
 
     xs = (top, bot, rn[1:], rf[1:], lw_n[1:], lw_f[1:],
           cands1, cands2, cfg1, cfg2, jnp.arange(lx))
-    init = (l0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
-            jnp.zeros((), jnp.int32))
-    (_, _, acc, tri), (v1s, v2s, g1s) = jax.lax.scan(bond_step, init, xs)
+    field_init = field0 if jwin is not None else jnp.zeros((2 * lx,), rdt)
+    init = (l0, jnp.zeros((), jnp.int32), field_init,
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    (_, _, _, acc, tri), (v1s, v2s, g1s) = jax.lax.scan(bond_step, init, xs)
     row1_final = take(cands1, v1s, g1s)
     return v1s, v2s, row1_final, acc, tri
 
 
 def mc_sweep_fermion_shared(tps, space: FermionSpace, config, key, chi,
-                            trunc):
+                            trunc, dress=None):
     """One full env-shared MC sweep (all horizontal bonds row by row, then
     all vertical bonds pair by pair), exchange moves. Drop-in replacement
     for the full-recompute mc_sweep_fermion: returns (config', key',
     SweepStats). Cost structure matches the bosonic mc_sweep (one boundary
     descent + O(1) contractions per bond) with a ~2x constant from the
-    normal+flipped env stacks."""
+    normal+flipped env stacks.
+
+    dress: optional JastrowDress — every exchange ratio picks up the
+    density-Jastrow factor via a carried field (reference: the dressed
+    t-J updater, square_nn_updater.h:380)."""
     ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
     dtype = tps.dtype
+    rdt = tps.real.dtype if jnp.iscomplexobj(tps) else tps.dtype
     pi_d = jnp.asarray(np.asarray(space.phys_parity), jnp.int32)
+    ids = jnp.arange(ly * lx).reshape(ly, lx)
     key, kh, kv = jax.random.split(key, 3)
 
     # ---- horizontal pass ----
@@ -286,8 +326,16 @@ def mc_sweep_fermion_shared(tps, space: FermionSpace, config, key, chi,
         cands_u = jnp.where(odd, _refl_site(cands), cands)
         flip_u = jnp.where(odd, _refl_site(fliprow), fliprow)
         cfg_u = jnp.where(odd, cfg_row[::-1], cfg_row)
+        jrow = None
+        if dress is not None:
+            field_full = dress.field(config).astype(rdt)
+            sid = jax.lax.dynamic_index_in_dim(ids, y, 0, keepdims=False)
+            sid = jnp.where(odd, sid[::-1], sid)
+            jrow = (dress.nvals.astype(rdt), field_full[sid],
+                    dress.v[sid][:, sid].astype(rdt))
         new_cfg, new_top, acc, tri = _h_row_kernel(
-            top_u, bot_u, cands_u, cfg_u, pi_d, kh, y, chi, trunc, flip_u)
+            top_u, bot_u, cands_u, cfg_u, pi_d, kh, y, chi, trunc, flip_u,
+            jrow)
         new_cfg = jnp.where(odd, new_cfg[::-1], new_cfg)
         new_top = jnp.where(odd, _refl_bmps(new_top), new_top)
         config = jax.lax.dynamic_update_index_in_dim(config, new_cfg, y, 0)
@@ -330,8 +378,21 @@ def mc_sweep_fermion_shared(tps, space: FermionSpace, config, key, chi,
             f2u = jnp.where(odd, _refl_site(f2), f2)
             cfg1u = jnp.where(odd, cfg1[::-1], cfg1)
             cfg2u = jnp.where(odd, cfg2[::-1], cfg2)
+            jwin = None
+            if dress is not None:
+                field_full = dress.field(config).astype(rdt)
+                sid1 = jax.lax.dynamic_index_in_dim(ids, y, 0,
+                                                    keepdims=False)
+                sid2 = jax.lax.dynamic_index_in_dim(ids, y + 1, 0,
+                                                    keepdims=False)
+                sid1 = jnp.where(odd, sid1[::-1], sid1)
+                sid2 = jnp.where(odd, sid2[::-1], sid2)
+                w = jnp.concatenate([sid1, sid2])
+                jwin = (dress.nvals.astype(rdt), field_full[w],
+                        dress.v[w][:, w].astype(rdt))
             v1, v2, row1_final, acc, tri = _v_pair_kernel(
-                top_u, bot_u, c1u, c2u, cfg1u, cfg2u, pi_d, kv, y, f1u, f2u)
+                top_u, bot_u, c1u, c2u, cfg1u, cfg2u, pi_d, kv, y, f1u, f2u,
+                jwin)
             v1 = jnp.where(odd, v1[::-1], v1)
             v2 = jnp.where(odd, v2[::-1], v2)
             row1_final = jnp.where(odd, _refl_site(row1_final), row1_final)
@@ -351,7 +412,7 @@ def mc_sweep_fermion_shared(tps, space: FermionSpace, config, key, chi,
 
 
 def mc_sweep_fermion_oracle(tps, space: FermionSpace, config, key, chi,
-                            trunc):
+                            trunc, dress=None):
     """Full-recompute replay of mc_sweep_fermion_shared's exact trajectory
     (same bond order and per-bond fold_in keys) — the equivalence oracle.
     Python-level, O(N^2); for tests only."""
@@ -365,7 +426,10 @@ def mc_sweep_fermion_oracle(tps, space: FermionSpace, config, key, chi,
 
     def logpsi(c):
         la, _ = log_abs_psi_fermion(tps, jnp.asarray(c), space, chi, trunc)
-        return float(la)
+        out = float(la)
+        if dress is not None:
+            out += float(dress.log_factor(jnp.asarray(c)))
+        return out
 
     def try_bond(s1, s2, k):
         nonlocal cfg, acc, tri

@@ -203,7 +203,8 @@ def _replaced_ratio_tables(tps, config, space, chi, trunc, log0, mant0,
 def local_energy_and_holes_graded(tps, config, model: GradedFermionModel,
                                   chi: int, trunc: TruncParams,
                                   with_holes: bool = True,
-                                  env_sharing: bool = True) -> EnergyHoles:
+                                  env_sharing: bool = True,
+                                  dress=None) -> EnergyHoles:
     """E_loc(S) + O tensor for a graded fermionic TPS. Same interface as
     the bosonic/JW local evaluators, so every evaluator/executor upstream
     works unchanged.
@@ -211,7 +212,13 @@ def local_energy_and_holes_graded(tps, config, model: GradedFermionModel,
     env_sharing=True (default) builds the NN ratio tables from shared
     boundary environments (peps_tpu/fermion/tables.py) — same O(N) cost
     structure as the bosonic evaluator; False falls back to batched full
-    recomputes (the original validation path)."""
+    recomputes (the original validation path).
+
+    dress: optional JastrowDress — amplitude ratios pick up the density
+    Jastrow factor exp(J(s') - J(s)) and log|psi| gains J(s) (reference:
+    the Jastrow-dressed t-J solvers,
+    square_nnn_energy_solver_jastrow_dressed.h; the O tensor w.r.t. the
+    TPS parameters is unchanged by the dress)."""
     ft, space = model.ft, model.space
     ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
     rdt = rdtype(tps)
@@ -232,6 +239,26 @@ def local_energy_and_holes_graded(tps, config, model: GradedFermionModel,
         ratio_h, ratio_v = tabs[0], tabs[1]
         if want_diag:
             ratio_d, ratio_ad = tabs[2], tabs[3]
+    if dress is not None:
+        from peps_tpu.montecarlo.jastrow import two_site_log_ratios
+        flat = jnp.arange(ly * lx).reshape(ly, lx)
+
+        def dress_pair(table, idx1, idx2):
+            if table is None:
+                return None
+            lr = two_site_log_ratios(dress, config, idx1.reshape(-1),
+                                     idx2.reshape(-1))
+            return table * jnp.exp(lr).reshape(table.shape).astype(
+                table.dtype)
+
+        ratio_h = dress_pair(ratio_h, flat[:, :lx - 1], flat[:, 1:])
+        ratio_v = dress_pair(ratio_v, flat[:ly - 1], flat[1:])
+        if want_diag:
+            ratio_d = dress_pair(ratio_d, flat[:ly - 1, :lx - 1],
+                                 flat[1:, 1:])
+            ratio_ad = dress_pair(ratio_ad, flat[1:, :lx - 1],
+                                  flat[:ly - 1, 1:])
+        log0 = log0 + dress.log_factor(config)
     # the diagonal of each table is psi(S)/psi(S) = 1 numerically by
     # construction (same canonical path) — sign consistency for free
     signs = snake_string_signs(config, ft, rdt)

@@ -3,7 +3,10 @@
 Run on the TPU: python scripts/bench_table.py [quick]
 Prints the markdown table; every README number comes from this script.
 """
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import time
 
 import jax

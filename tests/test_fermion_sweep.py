@@ -90,3 +90,90 @@ def test_shared_sweep_jits_and_vmaps():
         a = np.sort(np.asarray(cfgs[i]).ravel())
         b = np.sort(np.asarray(out_cfgs[i]).ravel())
         assert np.array_equal(a, b)
+
+
+def test_shared_sweep_jastrow_dressed_matches_oracle():
+    """Jastrow-dressed graded sweep: exchange ratios carry the density
+    Jastrow factor via the carried field; the full-recompute oracle applies
+    log J directly to the amplitudes (reference: the dressed t-J updater,
+    square_nn_updater.h:380). Trajectories must agree bit-for-bit."""
+    from peps_tpu.montecarlo.jastrow import JastrowDress
+    model, ly, lx, D, occ0 = CASES[2]            # t-J 3x2 (odd rows)
+    tps, space = _state(model, ly, lx, D, occ0)
+    n = ly * lx
+    rng = np.random.default_rng(5)
+    v = rng.normal(size=(n, n)) * 0.3
+    v = (v + v.T) / 2
+    np.fill_diagonal(v, 0.0)
+    nvals = np.array([float(model.n_up[i] + model.n_dn[i])
+                      for i in range(model.phys_dim)])
+    dress = JastrowDress(jnp.asarray(v), jnp.asarray(nvals))
+    chi = 24
+    tp = TruncParams(chi, 1, 0.0)
+    cfg0 = jnp.asarray(occ0.astype(np.int32))
+    agree = 0
+    for seed in range(3):
+        key = jax.random.PRNGKey(300 + seed)
+        c_fast, _, st_fast = mc_sweep_fermion_shared(
+            tps, space, cfg0, key, chi, tp, dress=dress)
+        c_ref, _, st_ref = mc_sweep_fermion_oracle(
+            tps, space, cfg0, key, chi, tp, dress=dress)
+        assert np.array_equal(np.asarray(c_fast), np.asarray(c_ref)), seed
+        assert int(st_fast.accepted) == int(st_ref.accepted)
+        agree += int(st_fast.accepted)
+        cfg0 = c_fast
+    assert agree > 0
+
+
+def test_graded_dressed_energy_matches_oracle():
+    """Jastrow-dressed graded local energies: exact-sum energy of the
+    dressed state equals the Rayleigh quotient of diag(e^J) |psi> on the
+    sector (reference: square_nnn_energy_solver_jastrow_dressed.h)."""
+    import itertools
+    import tests.fermion_ed_oracle as FO
+    from peps_tpu.fermion.exact import exact_coefficients, snake_order
+    from peps_tpu.fermion.vmc import (GradedFermionModel,
+                                      local_energy_and_holes_graded)
+    from peps_tpu.montecarlo.jastrow import JastrowDress
+    from peps_tpu.algorithm.exact_sum import sector_configs
+
+    model, ly, lx, D, occ0 = CASES[0]            # spinless 2x3
+    tps, space = _state(model, ly, lx, D, occ0)
+    n = ly * lx
+    rng = np.random.default_rng(7)
+    v = rng.normal(size=(n, n)) * 0.4
+    v = (v + v.T) / 2
+    np.fill_diagonal(v, 0.0)
+    nvals = np.array([float(model.n_up[i]) for i in range(model.phys_dim)])
+    dress = JastrowDress(jnp.asarray(v), jnp.asarray(nvals))
+    gm = GradedFermionModel.from_model(model, space, tps.dtype)
+    chi = 16
+    tp = TruncParams(chi, 1, 0.0)
+    configs = jnp.asarray(sector_configs(ly, lx, {1: 2, 0: 4}))
+
+    def one(cfg):
+        return local_energy_and_holes_graded(tps, cfg, gm, chi, tp,
+                                             with_holes=False, dress=dress)
+    res = jax.vmap(one)(configs)
+    logw = 2.0 * res.log_abs_psi
+    w = jnp.where(res.psi_mant == 0, 0.0, jnp.exp(logw - jnp.max(logw)))
+    e_got = float(jnp.sum(w * jnp.real(res.e_loc)) / jnp.sum(w))
+
+    # oracle: dressed coefficient vector on the sector
+    c = exact_coefficients(tps, space.phys_parity, space.bond_parity)
+    seq = snake_order(ly, lx)
+    perm = [seq.index((y, x)) for y in range(ly) for x in range(lx)]
+    vv = np.transpose(np.asarray(c), perm).reshape(-1)
+    H = FO.build_fermion_hamiltonian(model, ly, lx, order="snake").toarray()
+    d = model.phys_dim
+    idx, jfac = [], []
+    for cfg in itertools.product(range(d), repeat=n):
+        if sum(int(model.n_up[s]) for s in cfg) == 2:
+            idx.append(int(np.ravel_multi_index(cfg, (d,) * n)))
+            jfac.append(float(dress.log_factor(
+                jnp.asarray(np.array(cfg).reshape(ly, lx)))))
+    idx = np.array(idx)
+    vj = vv[idx] * np.exp(np.array(jfac))
+    Hs = H[np.ix_(idx, idx)]
+    e_want = float(vj @ Hs @ vj) / float(vj @ vj)
+    assert abs(e_got - e_want) < 1e-8, (e_got, e_want)
