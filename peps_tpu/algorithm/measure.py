@@ -182,14 +182,15 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
             and not mt.ft.spinless and d == 3:
         # graded-state pair correlators: batched full recomputes of the
         # dressed projected network with snake-order operator signs
-        from peps_tpu.algorithm.measure_fermion import \
-            tj_singlet_pair_corr_graded
+        from peps_tpu.algorithm.measure_fermion import (
+            tj_singlet_pair_corr_graded,
+            tj_singlet_pair_corr_graded_rowshared)
         from peps_tpu.algorithm.registry import Observable
         registry.append(Observable(
             "pair_corr_row", "t-J singlet pair correlation (graded state, "
-            "in-row horizontal bond pairs)",
-            lambda ctx: tj_singlet_pair_corr_graded(
-                ctx.tps, ctx.config, mt.space, ctx.chi, ctx.trunc, "row"),
+            "in-row horizontal bond pairs; env-shared walker)",
+            lambda ctx: tj_singlet_pair_corr_graded_rowshared(
+                ctx.tps, ctx.config, mt.space, ctx.chi, ctx.trunc),
             None, ("y", "x1", "x2"), needs_envs=True))
         registry.append(Observable(
             "pair_corr_col", "t-J singlet pair correlation (graded state, "

@@ -294,3 +294,121 @@ def tj_singlet_pair_corr_col(tps, config, chi: int, trunc: TruncParams):
     occ_s = _occ_vector(config, lx)
     return _pair_corr_frame(transpose_tps(tps), config.T, occ_s, chi, trunc,
                             stride_row=1, stride_pos=lx)
+
+
+def tj_singlet_pair_corr_graded_rowshared(tps, config, space, chi: int,
+                                          trunc: TruncParams):
+    """Env-shared <Delta^dag Delta> walker on a GRADED t-J state (in-row
+    horizontal bond pairs) — replaces the O(N) full recomputes per bond
+    pair of tj_singlet_pair_corr_graded(..., "row") with the bosonic
+    walker's shared row environments.
+
+    Why shared envs suffice (snake-interval analysis, fermion/tables.py):
+    Delta annihilates/creates a parity-EVEN pair on snake-ADJACENT sites,
+    so the only dressing flip is on the snake-second site of each replaced
+    bond (flag 1); everything between and beyond the two bonds keeps its
+    dressing (net prefix-parity change = 0). Operator signs are exact
+    sequential parity counts in the snake mode order — identical to the
+    full-recompute path. Returns [Ly, Lx-1, Lx-1]."""
+    from peps_tpu.fermion.convert import fermion_project
+    from peps_tpu.fermion.exact import snake_order
+    from peps_tpu.fermion.tables import fermion_candidates
+
+    ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
+    assert d == 3, "t-J basis required"
+    net = fermion_project(tps, config, space)
+    stacks = bmps.all_env_stacks(net, chi, trunc)
+    cands = fermion_candidates(tps, config, space)   # [Ly,Lx,d,2,...]
+
+    pos_np = np.zeros((ly, lx), np.int32)
+    for p, (y, x) in enumerate(snake_order(ly, lx)):
+        pos_np[y, x] = p
+    pos = jnp.asarray(pos_np)
+    n_up = jnp.asarray(_N_UP)[config]
+    n_dn = jnp.asarray(_N_DN)[config]
+    occ_s = jnp.zeros((2 * ly * lx,), jnp.int32)
+    occ_s = occ_s.at[2 * pos.reshape(-1)].set(
+        n_up.reshape(-1).astype(jnp.int32))
+    occ_s = occ_s.at[2 * pos.reshape(-1) + 1].set(
+        n_dn.reshape(-1).astype(jnp.int32))
+    nb = lx - 1
+    empty = 0
+
+    def per_row(top, bot, row, cand_row, cfg_row, r):
+        envs = bmps.row_envs(top, bot, row)
+        even = (r % 2 == 0)
+        # flag-1 goes to the snake-SECOND column of each bond
+        fa = jnp.where(even, 0, 1)     # flag at the bond's left column
+        fb = jnp.where(even, 1, 0)     # flag at the bond's right column
+
+        c1, c2 = cfg_row[:nb], cfg_row[1:]
+        pair_ud = (c1 == 1) & (c2 == 2)
+        pair_du = (c1 == 2) & (c2 == 1)
+        b_valid = pair_ud | pair_du
+        sa = jnp.where(pair_du, 1, 0)
+        bp_valid = (c1 == empty) & (c2 == empty)
+
+        def for_i(i):
+            e = bmps._col_transfer_left(envs.lefts[i], top[i],
+                                        cand_row[i][empty, fa], bot[i])
+            e = bmps._col_transfer_left(e, top[i + 1],
+                                        cand_row[i + 1][empty, fb],
+                                        bot[i + 1])
+
+            def scan_k(carry, k):
+                e = carry
+
+                def close(s1, s2):
+                    c = bmps._col_transfer_left(e, top[k],
+                                                cand_row[k][s1, fa], bot[k])
+                    c = bmps._col_transfer_left(c, top[k + 1],
+                                                cand_row[k + 1][s2, fb],
+                                                bot[k + 1])
+                    val = jnp.einsum("alc,alc->", c, envs.rights[k + 2])
+                    return val * jnp.exp(envs.log_rights[k + 2]
+                                         - envs.log_rights[i + 2])
+                amp_ud = close(1, 2)
+                amp_du = close(2, 1)
+
+                cpair = bmps._col_transfer_left(envs.lefts[i], top[i],
+                                                row[i], bot[i])
+                cpair = bmps._col_transfer_left(cpair, top[i + 1],
+                                                row[i + 1], bot[i + 1])
+                psi_ref = jnp.einsum("alc,alc->", cpair, envs.rights[i + 2])
+
+                p_i, p_j = pos[r, i], pos[r, i + 1]
+                p_k, p_l = pos[r, k], pos[r, k + 1]
+
+                def occ_sprime(up_first):
+                    occ = occ_s
+                    occ = occ.at[2 * p_i].set(0).at[2 * p_i + 1].set(0)
+                    occ = occ.at[2 * p_j].set(0).at[2 * p_j + 1].set(0)
+                    occ = occ.at[2 * p_k].set(jnp.where(up_first, 1, 0))
+                    occ = occ.at[2 * p_k + 1].set(jnp.where(up_first, 0, 1))
+                    occ = occ.at[2 * p_l].set(jnp.where(up_first, 0, 1))
+                    occ = occ.at[2 * p_l + 1].set(jnp.where(up_first, 1, 0))
+                    return occ
+
+                def chan(amp, up_first, sb):
+                    occp = occ_sprime(jnp.asarray(up_first))
+                    sgn = _pair_op_sign(occp, p_i, p_j, p_k, p_l, sa[i],
+                                        sb)
+                    coef_a = jnp.where(sa[i] == 0, 1.0, -1.0)
+                    coef_b = jnp.where(sb == 0, 1.0, -1.0)
+                    return 0.5 * coef_a * coef_b * sgn * amp
+
+                val = chan(amp_ud, True, 0) + chan(amp_du, False, 1)
+                valid = b_valid[i] & bp_valid[k] & (k > i + 1)
+                safe = jnp.where(psi_ref == 0, 1.0, psi_ref)
+                out = jnp.where(valid, jnp.real(val / safe), 0.0)
+                e_next = bmps._col_transfer_left(e, top[k], row[k], bot[k])
+                e_next = jnp.where(k > i + 1, e_next, e)
+                return e_next, out
+
+            _, vals = jax.lax.scan(scan_k, e, jnp.arange(nb))
+            return vals
+
+        return jax.vmap(for_i)(jnp.arange(nb))
+
+    return jax.vmap(per_row)(stacks.tops[:ly], stacks.bots[1:], net, cands,
+                             config, jnp.arange(ly))

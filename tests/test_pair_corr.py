@@ -4,6 +4,7 @@ import itertools
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from peps_tpu.algorithm.measure_fermion import (tj_singlet_pair_corr_col,
                                                 tj_singlet_pair_corr_row)
@@ -246,3 +247,41 @@ def test_pair_corr_col_matches_ed():
             assert abs(got[x, i, k] - want) < 1e-8 * max(1.0, abs(want)), \
                 (x, i, k, got[x, i, k], want)
             assert abs(want) > 1e-12, "trivially-zero oracle"
+
+
+@pytest.mark.fast
+def test_graded_pair_corr_rowshared_matches_full_recompute():
+    """The env-shared graded pair-corr walker equals the full-recompute
+    graded estimator entry for entry (the full-recompute path is itself
+    ED-validated)."""
+    from peps_tpu.algorithm.measure_fermion import (
+        tj_singlet_pair_corr_graded, tj_singlet_pair_corr_graded_rowshared)
+    from peps_tpu.fermion.peps import (fermion_simple_update,
+                                       product_fermion_peps,
+                                       space_for_model, to_tps_fermion)
+    from peps_tpu.models.fermion import tj_model
+    from peps_tpu.peps import SimpleUpdateParams
+
+    model = tj_model(3.0, 1.0)
+    ly, lx, D = 3, 4, 4
+    occ0 = np.array([[1, 2, 0, 0], [2, 1, 1, 2], [0, 0, 2, 1]])
+    space = space_for_model(model, D)
+    peps = product_fermion_peps(ly, lx, space, occ0)
+    out = fermion_simple_update(
+        peps, model, space,
+        SimpleUpdateParams(steps=40, tau=0.2,
+                           trunc=TruncParams(D, 1, 1e-12)))
+    tps = to_tps_fermion(out.peps)
+    tps = tps / jnp.max(jnp.abs(tps))
+    chi = 24
+    tp = TruncParams(chi, 1, 0.0)
+    checked = 0
+    for cfg in (occ0, occ0[::-1], np.roll(occ0, 1, axis=1)):
+        c = jnp.asarray(cfg.astype(np.int32))
+        ref = np.asarray(tj_singlet_pair_corr_graded(tps, c, space, chi,
+                                                     tp, "row"))
+        got = np.asarray(tj_singlet_pair_corr_graded_rowshared(
+            tps, c, space, chi, tp))
+        np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-10)
+        checked += int(np.sum(np.abs(ref) > 1e-12))
+    assert checked > 0   # nonzero entries were actually compared
