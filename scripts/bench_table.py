@@ -25,10 +25,15 @@ from peps_tpu.peps import (SimpleUpdateParams, product_peps, simple_update,
 NCH = 32
 DTYPE = jnp.float32
 
+# NOTE: a PBC (TRG) row was attempted and removed: the XLA TPU backend
+# either crashes (8x8: jellyfish windowing_util RET_CHECK) or fails to
+# finish compiling (4x4: >45 min) on the scanned TRG bond-sweep graph.
+# The PBC path is correctness-complete and tested on CPU
+# (tests/test_pbc.py); TPU TRG compile is tracked as a known limitation
+# (NOTES.md).
 CONFIGS = [
     # (label, ly, lx, D, chi, bc)
     ("8x8", 8, 8, 8, 32, "obc"),
-    ("8x8 PBC (TRG)", 8, 8, 8, 32, "pbc"),
     ("10x10", 10, 10, 8, 32, "obc"),
     ("16x16", 16, 16, 8, 32, "obc"),
     ("12x12", 12, 12, 10, 40, "obc"),
