@@ -17,8 +17,12 @@ fermionic U(1) tensors) end to end on TPU:
 Run: python examples/flagship_tj_6x6.py [quick]
 """
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
 
 import numpy as np
 import jax
@@ -48,8 +52,8 @@ def main(quick=False):
 
     # 2-hole doping: holes at (2,2) and (3,3); Neel-ish spin background
     occ0 = (np.indices((ly, lx)).sum(0) % 2 + 1).astype(int)  # 1/2 checker
-    occ0[2, 2] = 0
-    occ0[3, 3] = 0
+    occ0[2, 2] = 0   # removes an up spin
+    occ0[3, 2] = 0   # removes a down spin -> Sz = 0 at 2 holes
     n_up = int((occ0 == 1).sum())
     n_dn = int((occ0 == 2).sum())
     print(f"== {ly}x{lx} t-J, t={t} J={j_ex}, N_up={n_up} N_dn={n_dn} "
@@ -84,7 +88,7 @@ def main(quick=False):
     vp = VMCParams(
         chi=chi, trunc=TruncParams(chi, 1, 1e-6, scheme="sketch"),
         mc=MCParams(num_samples=1, num_warmup_sweeps=30 if quick else 100,
-                    nchains=nchains),
+                    nchains=nchains, eval_chunk=8),
         optimizer=opt.OptimizerParams(
             max_iters=n_iters,
             algorithm=opt.SRParams(cg=CGParams(max_iter=40, tol=1e-5),
@@ -102,7 +106,8 @@ def main(quick=False):
     n_meas = 20 if quick else 300
     m = measure(res.lowest_state, gm,
                 MeasurementParams(num_samples=n_meas, num_warmup_sweeps=30,
-                                  nchains=nchains, measure_pair_corr=False),
+                                  nchains=nchains, measure_pair_corr=False,
+                                  eval_chunk=8),
                 chi, TruncParams(chi, 1, 1e-6, scheme="sketch"), None,
                 res.final_configs, jax.random.PRNGKey(9))
     t_meas = time.time() - t0
@@ -112,14 +117,15 @@ def main(quick=False):
           f"({e_mean / n_sites:.5f} +- {e_err / n_sites:.5f} /site)",
           flush=True)
 
-    # pair correlators: ~300 dressed-network recomputes per sample — run a
-    # dedicated small-sample pass (full env-shared graded walkers are a
-    # known follow-up)
+    # pair correlators: env-shared graded walkers in both frames (shared
+    # row envs; excited-BMPS propagation for the vertical pairs) — a
+    # dedicated pass at smaller chain count
     t0 = time.time()
     n_pc = 4 if quick else 24
     m_pc = measure(res.lowest_state, gm,
                    MeasurementParams(num_samples=n_pc, num_warmup_sweeps=10,
-                                     nchains=8, measure_pair_corr=True),
+                                     nchains=8, measure_pair_corr=True,
+                                     eval_chunk=8),
                    chi, TruncParams(chi, 1, 1e-6, scheme="sketch"), None,
                    res.final_configs[:8], jax.random.PRNGKey(13))
     t_pc = time.time() - t0

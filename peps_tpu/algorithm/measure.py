@@ -126,6 +126,11 @@ class MeasurementParams:
     measure_pair_corr: bool = False   # t-J <Delta^dag Delta> walker scans
     chunk_size: int = 0      # >0: collect in chunks, allowing graceful stop
     handle_signals: bool = False  # SIGINT/SIGTERM -> stop + dump partial
+    # chain batch for the per-sample energy/observable pass (memory bound,
+    # same role as MCParams.eval_chunk): the full chain-batched vmap of the
+    # local-energy tables can exceed HBM at production sizes (graded 6x6
+    # D=8 chi=32 needs ~0.8 GB/chain)
+    eval_chunk: int | None = None
 
 
 def measure(tps: jnp.ndarray, model, params: MeasurementParams,
@@ -180,10 +185,11 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
         registry = [ob for ob in registry if not ob.needs_envs]
     if graded and getattr(params, "measure_pair_corr", False) \
             and not mt.ft.spinless and d == 3:
-        # graded-state pair correlators: batched full recomputes of the
-        # dressed projected network with snake-order operator signs
+        # graded-state pair correlators: env-shared walkers in both frames
+        # (shared row envs for horizontal pairs; excited-BMPS propagation
+        # for vertical pairs) with snake-order operator signs
         from peps_tpu.algorithm.measure_fermion import (
-            tj_singlet_pair_corr_graded,
+            tj_singlet_pair_corr_graded_colshared,
             tj_singlet_pair_corr_graded_rowshared)
         from peps_tpu.algorithm.registry import Observable
         registry.append(Observable(
@@ -194,9 +200,9 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
             None, ("y", "x1", "x2"), needs_envs=True))
         registry.append(Observable(
             "pair_corr_col", "t-J singlet pair correlation (graded state, "
-            "in-column vertical bond pairs)",
-            lambda ctx: tj_singlet_pair_corr_graded(
-                ctx.tps, ctx.config, mt.space, ctx.chi, ctx.trunc, "col"),
+            "in-column vertical bond pairs; env-shared excited-BMPS walker)",
+            lambda ctx: tj_singlet_pair_corr_graded_colshared(
+                ctx.tps, ctx.config, mt.space, ctx.chi, ctx.trunc),
             None, ("x", "y1", "y2"), needs_envs=True))
     nc = configs.shape[0]
     tps_t = transpose_tps(tps)
@@ -246,7 +252,11 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
                 cfgs, k, stats = sweep_all(cfgs, k)
                 acc = acc + jnp.sum(stats.accepted).astype(acc.dtype)
                 tri = tri + jnp.sum(stats.trials).astype(tri.dtype)
-            vals = jax.vmap(per_sample)(cfgs)
+            if params.eval_chunk is None:
+                vals = jax.vmap(per_sample)(cfgs)
+            else:
+                vals = jax.lax.map(per_sample, cfgs,
+                                   batch_size=params.eval_chunk)
             return (cfgs, k, acc, tri), vals
 
         init = (cfgs, k, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))

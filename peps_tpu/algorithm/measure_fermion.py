@@ -296,6 +296,209 @@ def tj_singlet_pair_corr_col(tps, config, chi: int, trunc: TruncParams):
                             stride_row=1, stride_pos=lx)
 
 
+def _bmps_overlap(a, b):
+    """Scalar closure of a top-type x bottom-type boundary-MPS pair living
+    on the same horizontal bond layer (vertical legs contracted pairwise).
+    a, b: [Lx, chi, D, chi], edges closed at index 0. Returns
+    (mantissa, log_weight)."""
+    chi = a.shape[1]
+    rdt = a.real.dtype if jnp.iscomplexobj(a) else a.dtype
+    init = (jnp.zeros((chi, chi), a.dtype).at[0, 0].set(1.0),
+            jnp.zeros((), rdt))
+
+    def step(carry, xs):
+        m, logw = carry
+        ta, tb = xs
+        m2 = jnp.einsum("ac,avb,cvd->bd", m, ta, tb)
+        n = jnp.maximum(jnp.linalg.norm(m2), jnp.finfo(rdt).tiny)
+        return (m2 / n, logw + jnp.log(n)), None
+
+    (m, logw), _ = jax.lax.scan(step, init, (a, b))
+    return m[0, 0], logw
+
+
+def tj_singlet_pair_corr_graded_colshared(tps, config, space, chi: int,
+                                          trunc: TruncParams):
+    """Env-shared <Delta^dag Delta> walker on a GRADED t-J state for
+    VERTICAL bond pairs in the same column — replaces the full-recompute
+    tj_singlet_pair_corr_graded(..., "col") (O(N) contractions per entry)
+    with excited-BMPS propagation.
+
+    Geometry (snake-interval analysis): replacing vertical bond
+    ((i,x),(i+1,x)) flips the snake prefix parity exactly on the interval
+    between the two sites — the remaining columns of rows i and i+1
+    (x' > x for even i, x' < x for odd i) — and NOWHERE below, because the
+    two parity changes cancel. So an "excited" top boundary MPS that
+    absorbs rows i, i+1 with {flip masks on the interval + candidate
+    tensors at column x} and then absorbs PLAIN rows downward carries the
+    whole first-bond modification; the second bond needs only a two-row
+    upward absorption into the shared bottom stack. Per (column, start
+    bond) the scan over end bonds k costs one row absorption + one cheap
+    BMPS-BMPS overlap each, all vmapped over (x, i) lanes.
+
+    Operator signs are exact sequential parity counts in snake mode order —
+    identical to the full-recompute path. Returns [Lx, Ly-1, Ly-1]
+    (reference: the vertical-bond geometries of
+    singlet_pair_correlation_measurement_mixin.h)."""
+    from peps_tpu.fermion.convert import fermion_project
+    from peps_tpu.fermion.exact import snake_order
+    from peps_tpu.fermion.tables import fermion_candidates, fermion_flip_mask
+
+    ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
+    assert d == 3, "t-J basis required"
+    net = fermion_project(tps, config, space)
+    stacks = bmps.all_env_stacks(net, chi, trunc)
+    cands = fermion_candidates(tps, config, space)   # [Ly,Lx,d,2,...]
+    flip = fermion_flip_mask(config, space, ly, lx, tps.dtype)
+    nb = ly - 1
+    rdt = tps.real.dtype if jnp.iscomplexobj(tps) else tps.dtype
+
+    # psi(s) from the shared top stack
+    final = stacks.tops[ly]
+    v0 = bmps.e0(final.shape[1], net.dtype)
+
+    def close_step(v, b_x):
+        return v @ b_x[:, 0, :], None
+
+    v, _ = jax.lax.scan(close_step, v0, final)
+    mant0 = v[0]
+    log0 = stacks.log_tops[ly]
+
+    def phase(m):
+        if jnp.iscomplexobj(m):
+            return m / jnp.maximum(jnp.abs(m), jnp.finfo(rdt).tiny)
+        return jnp.sign(m)
+
+    inv_ph0 = jnp.conj(phase(mant0)) if jnp.iscomplexobj(mant0) \
+        else phase(mant0)
+    log_abs0 = jnp.log(jnp.maximum(jnp.abs(mant0), jnp.finfo(rdt).tiny)) \
+        + log0
+
+    # snake positions / occupations (same conventions as the row walker)
+    pos_np = np.zeros((ly, lx), np.int32)
+    for p, (y, x) in enumerate(snake_order(ly, lx)):
+        pos_np[y, x] = p
+    pos = jnp.asarray(pos_np)
+    n_up = jnp.asarray(_N_UP)[config]
+    n_dn = jnp.asarray(_N_DN)[config]
+    occ_s = jnp.zeros((2 * ly * lx,), jnp.int32)
+    occ_s = occ_s.at[2 * pos.reshape(-1)].set(
+        n_up.reshape(-1).astype(jnp.int32))
+    occ_s = occ_s.at[2 * pos.reshape(-1) + 1].set(
+        n_dn.reshape(-1).astype(jnp.int32))
+
+    # bond validity tables [Ly-1, Lx]
+    c1, c2 = config[:-1, :], config[1:, :]
+    pair_ud = (c1 == 1) & (c2 == 2)
+    pair_du = (c1 == 2) & (c2 == 1)
+    b_valid = pair_ud | pair_du
+    sa_tab = jnp.where(pair_du, 1, 0)
+    bp_valid = (c1 == 0) & (c2 == 0)
+
+    cols = jnp.arange(lx)
+
+    def mod_rows(y_first, x, s_first, s_second):
+        """net rows y_first, y_first+1 with the bond-replacement dressing:
+        flip masks on the snake interval and flag-conditioned candidates
+        (s_first flag 0, s_second flag 1) at column x."""
+        region = jnp.where(y_first % 2 == 0, cols > x, cols < x)
+        row_a = jnp.take(net, y_first, axis=0)
+        row_b = jnp.take(net, y_first + 1, axis=0)
+        fl_a = jnp.take(flip, y_first, axis=0)
+        fl_b = jnp.take(flip, y_first + 1, axis=0)
+        reg = region[:, None, None, None, None]
+        row_a = jnp.where(reg, row_a * fl_a, row_a)
+        row_b = jnp.where(reg, row_b * fl_b, row_b)
+        ca = jnp.take(jnp.take(jnp.take(cands, y_first, axis=0), x, axis=0),
+                      s_first, axis=0)[0]
+        cb = jnp.take(jnp.take(jnp.take(cands, y_first + 1, axis=0), x,
+                               axis=0), s_second, axis=0)[1]
+        row_a = row_a.at[x].set(ca)
+        row_b = row_b.at[x].set(cb)
+        return row_a, row_b
+
+    def vflip_row(row):
+        return row.transpose(0, 3, 2, 1, 4)     # (u,l,d,r) -> (d,l,u,r)
+
+    # excited bottoms: bots[k+2] <- modified row k+1 <- modified row k,
+    # per (x, k, channel). Channel 0 -> (up, dn) at b', 1 -> (dn, up).
+    def build_ebot(x, k, ch):
+        s1 = jnp.where(ch == 0, 1, 2)
+        s2 = jnp.where(ch == 0, 2, 1)
+        row_a, row_b = mod_rows(k, x, s1, s2)
+        b = jnp.take(stacks.bots, k + 2, axis=0)
+        lb = jnp.take(stacks.log_bots, k + 2)
+        r1 = bmps.absorb_row(b, vflip_row(row_b), chi, trunc)
+        r2 = bmps.absorb_row(r1.bmps, vflip_row(row_a), chi, trunc)
+        return r2.bmps, lb + r1.log_norm + r2.log_norm
+
+    ebots, log_ebots = jax.vmap(
+        lambda x: jax.vmap(
+            lambda k: jax.vmap(lambda ch: build_ebot(x, k, ch))(
+                jnp.arange(2)))(jnp.arange(nb)))(cols)
+    # ebots: [Lx, nb, 2, Lx, chi, D, chi]; log_ebots: [Lx, nb, 2]
+
+    empty = 0
+
+    def lane(x, i):
+        """All entries (i, k) for start bond (i, x): [nb, 2]-channel sums."""
+        row_a, row_b = mod_rows(i, x, empty, empty)
+        t = jnp.take(stacks.tops, i, axis=0)
+        lt = jnp.take(stacks.log_tops, i)
+        r1 = bmps.absorb_row(t, row_a, chi, trunc)
+        r2 = bmps.absorb_row(r1.bmps, row_b, chi, trunc)
+        ex_init, lex_init = r2.bmps, lt + r1.log_norm + r2.log_norm
+        eb_x = ebots[x]                     # [nb, 2, Lx, chi, D, chi]
+        leb_x = log_ebots[x]
+
+        def scan_k(carry, k):
+            ex, lex = carry
+
+            def close(ch):
+                mant, lov = _bmps_overlap(ex, eb_x[k, ch])
+                la = jnp.log(jnp.maximum(jnp.abs(mant),
+                                         jnp.finfo(rdt).tiny)) \
+                    + lov + lex + leb_x[k, ch]
+                ratio = phase(mant) * inv_ph0 * jnp.exp(
+                    jnp.minimum(la - log_abs0, 60.0))
+                # operator sign in snake mode order on occ(s')
+                p_i, p_j = pos[i, x], pos[i + 1, x]
+                p_k, p_l = pos[k, x], pos[k + 1, x]
+                up_first = ch == 0
+                occ = occ_s
+                occ = occ.at[2 * p_i].set(0).at[2 * p_i + 1].set(0)
+                occ = occ.at[2 * p_j].set(0).at[2 * p_j + 1].set(0)
+                occ = occ.at[2 * p_k].set(jnp.where(up_first, 1, 0))
+                occ = occ.at[2 * p_k + 1].set(jnp.where(up_first, 0, 1))
+                occ = occ.at[2 * p_l].set(jnp.where(up_first, 0, 1))
+                occ = occ.at[2 * p_l + 1].set(jnp.where(up_first, 1, 0))
+                sgn = _pair_op_sign(occ, p_i, p_j, p_k, p_l, sa_tab[i, x],
+                                    jnp.where(up_first, 0, 1))
+                coef_a = jnp.where(sa_tab[i, x] == 0, 1.0, -1.0)
+                coef_b = jnp.where(up_first, 1.0, -1.0)
+                return 0.5 * coef_a * coef_b * sgn.astype(ratio.dtype) \
+                    * ratio
+
+            val = close(0) + close(1)
+            valid = b_valid[i, x] & bp_valid[k, x] & (k > i + 1)
+            out = jnp.where(valid, jnp.real(val), 0.0)
+            # propagate: ex(k+1) absorbs plain row k; at k = i+1 the carry
+            # is REPLACED by the precomputed modified-rows absorption (the
+            # pre-(i+2) carry is a dummy recomputation of the top stack)
+            res = bmps.absorb_row(ex, jnp.take(net, k, axis=0), chi, trunc)
+            ex_n = jnp.where(k == i + 1, ex_init, res.bmps)
+            lex_n = jnp.where(k == i + 1, lex_init, lex + res.log_norm)
+            return (ex_n, lex_n), out
+
+        init = (stacks.tops[0], jnp.zeros((), rdt))
+        _, vals = jax.lax.scan(scan_k, init, jnp.arange(nb))
+        return vals
+
+    xi, ii = jnp.meshgrid(cols, jnp.arange(nb), indexing="ij")
+    table = jax.vmap(jax.vmap(lane))(xi, ii)     # [Lx, nb, nb]
+    return table
+
+
 def tj_singlet_pair_corr_graded_rowshared(tps, config, space, chi: int,
                                           trunc: TruncParams):
     """Env-shared <Delta^dag Delta> walker on a GRADED t-J state (in-row

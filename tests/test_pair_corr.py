@@ -285,3 +285,33 @@ def test_graded_pair_corr_rowshared_matches_full_recompute():
         np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-10)
         checked += int(np.sum(np.abs(ref) > 1e-12))
     assert checked > 0   # nonzero entries were actually compared
+
+
+def test_graded_pair_corr_colshared_matches_full_recompute():
+    """The env-shared COLUMN-frame graded walker (excited-BMPS propagation)
+    equals the full-recompute graded estimator entry for entry (the
+    full-recompute path is itself ED-validated above)."""
+    from peps_tpu.algorithm.measure_fermion import (
+        tj_singlet_pair_corr_graded, tj_singlet_pair_corr_graded_colshared)
+    from peps_tpu.models.fermion import tj_model
+    from tests.test_fermion_vmc import su_state
+
+    model = tj_model(3.0, 1.0)
+    ly, lx, D = 4, 3, 4
+    occ0 = np.array([[1, 2, 0], [2, 1, 0], [0, 1, 2], [0, 2, 1]])
+    tps, space = su_state(model, ly, lx, D, occ0, sched=((40, 0.2),))
+    tps = tps / jnp.max(jnp.abs(tps))
+    chi = 24
+    tp = TruncParams(chi, 1, 0.0)
+    checked = 0
+    for cfg in (occ0,
+                np.array([[1, 0, 2], [2, 0, 1], [0, 1, 2], [0, 2, 1]]),
+                np.array([[2, 1, 0], [1, 2, 0], [0, 1, 2], [0, 2, 1]])):
+        c = jnp.asarray(cfg.astype(np.int32))
+        ref = np.asarray(tj_singlet_pair_corr_graded(tps, c, space, chi,
+                                                     tp, "col"))
+        got = np.asarray(tj_singlet_pair_corr_graded_colshared(
+            tps, c, space, chi, tp))
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-8)
+        checked += int(np.sum(np.abs(ref) > 1e-12))
+    assert checked > 0   # nonzero entries were actually compared
