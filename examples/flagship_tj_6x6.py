@@ -103,7 +103,7 @@ def main(quick=False):
           f"({res.lowest_energy / n_sites:.5f}/site)", flush=True)
 
     t0 = time.time()
-    n_meas = 20 if quick else 300
+    n_meas = 20 if quick else 100
     m = measure(res.lowest_state, gm,
                 MeasurementParams(num_samples=n_meas, num_warmup_sweeps=30,
                                   nchains=nchains, measure_pair_corr=False,
@@ -121,7 +121,7 @@ def main(quick=False):
     # row envs; excited-BMPS propagation for the vertical pairs) — a
     # dedicated pass at smaller chain count
     t0 = time.time()
-    n_pc = 4 if quick else 24
+    n_pc = 4 if quick else 40
     m_pc = measure(res.lowest_state, gm,
                    MeasurementParams(num_samples=n_pc, num_warmup_sweeps=10,
                                      nchains=8, measure_pair_corr=True,

@@ -40,6 +40,77 @@ class MCParams:
     # bounds only the table/hole intermediates, not the stack storage
     # (full-batch absorbs measured ~2x faster than chunked ones).
     eval_chunk: int | None = None
+    # PBC-only: drive the bond sweep from the host (one jitted per-bond
+    # step, bond as a traced arg) instead of a lax.scan over the TRG graph,
+    # which the XLA TPU backend cannot compile (docs/tpu_engineering.md
+    # "TPU TRG compile pathology"). None = auto: host-driven on TPU.
+    host_sweep: bool | None = None
+
+
+def _use_host_pbc(params_host_sweep, bc) -> bool:
+    if bc != BoundaryCondition.PERIODIC:
+        return False
+    if params_host_sweep is None:
+        return jax.default_backend() == "tpu"
+    return params_host_sweep
+
+
+@partial(jax.jit, static_argnames=("chi", "trunc", "with_grad",
+                                   "eval_chunk", "with_sr"))
+def _pbc_eval_batch(tps, configs, model, chi, trunc, with_grad, eval_chunk,
+                    with_sr):
+    """Chunked per-chain PBC local-energy (+holes) pass; returns the same
+    per-sample tuple as one step of the scanned collect."""
+    nc = configs.shape[0]
+
+    def fn(c):
+        return local_energy_and_holes_pbc(tps, c, model, chi, trunc,
+                                          with_holes=with_grad)
+
+    if eval_chunk is None:
+        res = jax.vmap(fn)(configs)
+    else:
+        res = jax.lax.map(fn, configs, batch_size=eval_chunk)
+    if not with_grad:
+        return (res.e_loc, None, None, None, res.log_abs_psi)
+    o_flat = res.o_tensor.reshape(nc, -1)
+    return (res.e_loc, o_flat if with_sr else None,
+            jnp.sum(jnp.conj(o_flat), axis=0),
+            None if with_sr else
+            jnp.sum(res.e_loc[:, None] * jnp.conj(o_flat), axis=0),
+            res.log_abs_psi)
+
+
+def _mc_collect_host_pbc(tps, configs, key, model, chi, trunc, rule,
+                         n_samples, sweeps_between, with_sr,
+                         with_grad=True, eval_chunk=None):
+    """Host-driven PBC sample collection: same sweep trajectories and
+    return structure as the scanned _mc_collect (PERIODIC branch), with
+    the bond loop dispatched per bond from the host."""
+    import numpy as np
+
+    from peps_tpu.montecarlo.sweep_pbc import mc_sweep_pbc_host
+
+    nc = configs.shape[0]
+    acc = tri = 0
+    outs_list = []
+    for _ in range(n_samples):
+        for _ in range(sweeps_between):
+            keys = jax.random.split(key, nc + 1)
+            key = keys[0]
+            configs, _, _, a, t = mc_sweep_pbc_host(
+                tps, configs, keys[1:], chi, trunc, rule)
+            acc += int(jnp.sum(a))
+            tri += int(jnp.sum(t))
+        step_out = _pbc_eval_batch(tps, configs, model, chi, trunc,
+                                   with_grad, eval_chunk, with_sr)
+        outs_list.append(tuple(None if x is None else np.asarray(x)
+                               for x in step_out))
+    outs = tuple(None if xs[0] is None
+                 else jnp.asarray(np.stack(xs, axis=0))
+                 for xs in zip(*outs_list))
+    return (configs, key, jnp.asarray(acc, jnp.int32),
+            jnp.asarray(tri, jnp.int32), outs)
 
 
 @partial(jax.jit, static_argnames=("chi", "trunc", "rule",
@@ -168,9 +239,15 @@ def mc_energy_only(tps, configs, key, model: ModelTensors, chi: int,
     """Energy-only MC estimate — holes/gradients skipped (reference:
     EvaluateEnergyOnly, mc_energy_grad_evaluator.h:343). Used by the step
     selector and the energy-only L-BFGS line-search probes."""
-    _, _, _, _, outs = _mc_collect(
-        tps, configs, key, model, chi, trunc, rule,
-        n_samples, sweeps_between, with_sr=False, bc=bc, with_grad=False)
+    if _use_host_pbc(None, bc):
+        _, _, _, _, outs = _mc_collect_host_pbc(
+            tps, configs, key, model, chi, trunc, rule,
+            n_samples, sweeps_between, with_sr=False, with_grad=False)
+    else:
+        _, _, _, _, outs = _mc_collect(
+            tps, configs, key, model, chi, trunc, rule,
+            n_samples, sweeps_between, with_sr=False, bc=bc,
+            with_grad=False)
     e_locs = outs[0]
     energy, err = mean_and_binned_error(jnp.real(e_locs))
     return energy, err
@@ -185,10 +262,16 @@ def mc_energy_grad(tps, configs, key, model: ModelTensors, chi: int,
     Gradient (uniform |psi|^2 sampling): g = <conj(O)(E_loc - E)> over all
     samples x chains; x2 real part for real dtype (matches the exact-sum
     evaluator's convention so optimizers are interchangeable)."""
-    configs, key, acc, tri, outs = _mc_collect(
-        tps, configs, key, model, chi, trunc, rule,
-        params.num_samples, params.sweeps_between_samples, with_sr_buffers,
-        bc, eval_chunk=params.eval_chunk)
+    if _use_host_pbc(params.host_sweep, bc):
+        configs, key, acc, tri, outs = _mc_collect_host_pbc(
+            tps, configs, key, model, chi, trunc, rule,
+            params.num_samples, params.sweeps_between_samples,
+            with_sr_buffers, eval_chunk=params.eval_chunk)
+    else:
+        configs, key, acc, tri, outs = _mc_collect(
+            tps, configs, key, model, chi, trunc, rule,
+            params.num_samples, params.sweeps_between_samples,
+            with_sr_buffers, bc, eval_chunk=params.eval_chunk)
     e_locs, o_full, o_sum, eo_sum, log_psi = outs
 
     s, c = e_locs.shape

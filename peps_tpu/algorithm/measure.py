@@ -131,6 +131,9 @@ class MeasurementParams:
     # local-energy tables can exceed HBM at production sizes (graded 6x6
     # D=8 chi=32 needs ~0.8 GB/chain)
     eval_chunk: int | None = None
+    # PBC-only: host-driven bond sweep (see MCParams.host_sweep);
+    # None = auto (host-driven on TPU)
+    host_sweep: bool | None = None
 
 
 def measure(tps: jnp.ndarray, model, params: MeasurementParams,
@@ -264,10 +267,46 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
                                                  length=length)
         return cfgs, k, acc, tri, outs
 
+    # PBC on TPU: the scanned TRG sweep graph cannot compile (XLA
+    # pathology, docs/tpu_engineering.md) — drive the bond loop from the
+    # host and jit only the per-bond step + the chunked per-sample pass.
+    from peps_tpu.algorithm.mc_evaluator import _use_host_pbc
+    host_pbc = periodic and _use_host_pbc(params.host_sweep,
+                                          BoundaryCondition.PERIODIC)
+    if host_pbc:
+        from peps_tpu.montecarlo.sweep_pbc import mc_sweep_pbc_host
+        eval_c = params.eval_chunk or 4
+        per_sample_batch = jax.jit(lambda cs: jax.lax.map(
+            per_sample, cs, batch_size=eval_c))
+
+        def collect(cfgs, k, length):          # noqa: F811
+            acc = jnp.zeros((), jnp.int32)
+            tri = jnp.zeros((), jnp.int32)
+            outs_l = []
+            for _ in range(length):
+                for _ in range(params.sweeps_between_samples):
+                    ks = jax.random.split(k, nc + 1)
+                    k = ks[0]
+                    cfgs, _, _, a, t = mc_sweep_pbc_host(
+                        tps, cfgs, ks[1:], chi, trunc, rule)
+                    acc = acc + jnp.sum(a)
+                    tri = tri + jnp.sum(t)
+                outs_l.append(jax.tree.map(np.asarray,
+                                           per_sample_batch(cfgs)))
+            outs = jax.tree.map(lambda *xs: np.stack(xs, axis=0), *outs_l)
+            return cfgs, k, acc, tri, outs
+
     # warm-up
-    for _ in range(params.num_warmup_sweeps):
-        key, ks = jax.random.split(key)
-        configs, _, _ = sweep_all(configs, ks)
+    if host_pbc:
+        for _ in range(params.num_warmup_sweeps):
+            key, ks = jax.random.split(key)
+            kc = jax.random.split(ks, nc + 1)
+            configs, _, _, _, _ = mc_sweep_pbc_host(
+                tps, configs, kc[1:], chi, trunc, rule)
+    else:
+        for _ in range(params.num_warmup_sweeps):
+            key, ks = jax.random.split(key)
+            configs, _, _ = sweep_all(configs, ks)
 
     # graceful-stop support (reference: MPISignalGuard, base/mpi_signal_guard.h:
     # SIGINT/SIGTERM -> flag -> per-sweep check -> break and dump partials).

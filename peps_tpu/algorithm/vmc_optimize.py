@@ -101,14 +101,25 @@ def vmc_optimize(tps: jnp.ndarray, model, params: VMCParams,
             key, k_s = jax.random.split(key)
             configs, _, _ = warm(tps, configs, k_s)
     elif params.bc == BoundaryCondition.PERIODIC:
-        from peps_tpu.montecarlo.sweep_pbc import mc_sweep_pbc
-        warm = jax.jit(lambda t, cfgs, k: jax.vmap(
-            mc_sweep_pbc, in_axes=(None, 0, 0, None, None, None))(
-            t, cfgs, jax.random.split(k, cfgs.shape[0]), params.chi,
-            params.trunc, params.rule))
-        for _ in range(params.mc.num_warmup_sweeps):
-            key, k_s = jax.random.split(key)
-            configs, _, _ = warm(tps, configs, k_s)
+        from peps_tpu.algorithm.mc_evaluator import _use_host_pbc
+        if _use_host_pbc(params.mc.host_sweep, params.bc):
+            from peps_tpu.montecarlo.sweep_pbc import mc_sweep_pbc_host
+            la0s = None
+            for _ in range(params.mc.num_warmup_sweeps):
+                key, k_s = jax.random.split(key)
+                ks = jax.random.split(k_s, configs.shape[0])
+                configs, _, la0s, _, _ = mc_sweep_pbc_host(
+                    tps, configs, ks, params.chi, params.trunc,
+                    params.rule, la0s=la0s)
+        else:
+            from peps_tpu.montecarlo.sweep_pbc import mc_sweep_pbc
+            warm = jax.jit(lambda t, cfgs, k: jax.vmap(
+                mc_sweep_pbc, in_axes=(None, 0, 0, None, None, None))(
+                t, cfgs, jax.random.split(k, cfgs.shape[0]), params.chi,
+                params.trunc, params.rule))
+            for _ in range(params.mc.num_warmup_sweeps):
+                key, k_s = jax.random.split(key)
+                configs, _, _ = warm(tps, configs, k_s)
     else:
         tps_t = transpose_tps(tps)
         warm = jax.jit(lambda t, tt, cfgs, k: jax.vmap(

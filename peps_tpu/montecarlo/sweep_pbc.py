@@ -108,3 +108,124 @@ def mc_sweep_pbc(tps, config, key, chi: int, trunc: TruncParams,
     init = (config, key, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
     (config, key, acc, tri), _ = jax.lax.scan(bond_step, init, bonds)
     return config, key, SweepStats(acc, tri)
+
+
+# ---------------------------------------------------------------------------
+# Host-driven PBC sweep (the TPU path).
+#
+# The XLA TPU backend cannot compile a lax.scan whose body contains the
+# whole TRG contraction (compiler RET_CHECK crash at 8x8; >45 min compile
+# at 4x4 — docs/tpu_engineering.md "TPU TRG compile pathology"). The fix is
+# structural: compile ONE per-bond step (bond passed as a traced array, so
+# a single executable serves every bond) and drive the 2N-bond Metropolis
+# sequence from the host. Sequential semantics, per-chain key streams and
+# accept decisions are IDENTICAL to mc_sweep_pbc — tested bit-for-bit.
+# ---------------------------------------------------------------------------
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("chi", "trunc"))
+def _pbc_log_abs_batch(tps, configs, chi, trunc):
+    rdt = tps.real.dtype if jnp.iscomplexobj(tps) else tps.dtype
+
+    def one(c):
+        mant, logw = contract_pbc(project(tps, c), chi, trunc)
+        return jnp.log(jnp.maximum(jnp.abs(mant),
+                                   jnp.finfo(rdt).tiny)) + logw
+
+    return jax.lax.map(one, configs, batch_size=4)
+
+
+@_partial(jax.jit, static_argnames=("chi", "trunc"))
+def _pbc_exchange_bond_step(tps, configs, la0s, keys, bond, chi, trunc):
+    """One exchange-Metropolis decision at `bond` for all chains."""
+    rdt = tps.real.dtype if jnp.iscomplexobj(tps) else tps.dtype
+
+    def one(config, la0, key):
+        key, k_pick = jax.random.split(key)
+        c1 = config[bond[0], bond[1]]
+        c2 = config[bond[2], bond[3]]
+        cand = config.at[bond[0], bond[1]].set(c2) \
+                     .at[bond[2], bond[3]].set(c1)
+        mant, logw = contract_pbc(project(tps, cand), chi, trunc)
+        la1 = jnp.log(jnp.maximum(jnp.abs(mant),
+                                  jnp.finfo(rdt).tiny)) + logw
+        ratio2 = jnp.exp(2.0 * (la1 - la0))
+        u = jax.random.uniform(k_pick, (), rdt)
+        differ = c1 != c2
+        accept = differ & (u < ratio2)
+        return (jnp.where(accept, cand, config),
+                jnp.where(accept, la1, la0), key,
+                accept.astype(jnp.int32), differ.astype(jnp.int32))
+
+    outs = jax.lax.map(lambda args: one(*args), (configs, la0s, keys),
+                       batch_size=4)
+    return outs
+
+
+@_partial(jax.jit, static_argnames=("chi", "trunc", "d", "mode"))
+def _pbc_table_bond_step(tps, configs, keys, bond, chi, trunc, d, mode):
+    """One full-space (Suwa-Todo) decision at `bond` for all chains."""
+    cmask = UpdateRule(mode).mask_array(d) if mode != "full" else None
+    pp, qq = jnp.meshgrid(jnp.arange(d), jnp.arange(d), indexing="ij")
+    pq = jnp.stack([pp.reshape(-1), qq.reshape(-1)], axis=1)
+
+    def one(config, key):
+        key, k_pick = jax.random.split(key)
+        tn = project(tps, config)
+
+        def amp(s):
+            t = tn.at[bond[0], bond[1]].set(tps[bond[0], bond[1], s[0]])
+            t = t.at[bond[2], bond[3]].set(tps[bond[2], bond[3], s[1]])
+            return contract_pbc(t, chi, trunc)
+
+        mants, logws = jax.vmap(amp)(pq)
+        lmax = jnp.max(logws)
+        table = (mants * jnp.exp(logws - lmax)).reshape(d, d)
+        c1 = config[bond[0], bond[1]]
+        c2 = config[bond[2], bond[3]]
+        cur_idx = (c1 * d + c2).astype(jnp.int32)
+        w = jnp.abs(table.reshape(-1)) ** 2
+        if cmask is not None:
+            w = w * cmask[cur_idx].astype(w.dtype)
+        new_idx = suwa_todo_pick(w, cur_idx, k_pick)
+        new1 = (new_idx // d).astype(config.dtype)
+        new2 = (new_idx % d).astype(config.dtype)
+        config = config.at[bond[0], bond[1]].set(new1)
+        config = config.at[bond[2], bond[3]].set(new2)
+        return (config, key, (new_idx != cur_idx).astype(jnp.int32),
+                jnp.ones((), jnp.int32))
+
+    return jax.lax.map(lambda args: one(*args), (configs, keys),
+                       batch_size=1)
+
+
+def mc_sweep_pbc_host(tps, configs, keys, chi: int, trunc: TruncParams,
+                      rule: UpdateRule, la0s=None):
+    """One full PBC sweep for ALL chains, host loop over bonds.
+
+    configs: [C, Ly, Lx]; keys: [C] per-chain PRNG keys. Returns
+    (configs', keys', la0s' or None, acc [C], tri [C]). Matches
+    mc_sweep_pbc's per-chain trajectories exactly when each chain's key
+    equals the scanned version's input key."""
+    ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
+    bonds = _all_nn_bonds(ly, lx)
+    nc = configs.shape[0]
+    acc = jnp.zeros((nc,), jnp.int32)
+    tri = jnp.zeros((nc,), jnp.int32)
+    if rule.mode == "exchange":
+        if la0s is None:
+            la0s = _pbc_log_abs_batch(tps, configs, chi, trunc)
+        for b in bonds:
+            configs, la0s, keys, a, t = _pbc_exchange_bond_step(
+                tps, configs, la0s, keys, jnp.asarray(b), chi, trunc)
+            acc = acc + a
+            tri = tri + t
+        return configs, keys, la0s, acc, tri
+    for b in bonds:
+        configs, keys, a, t = _pbc_table_bond_step(
+            tps, configs, keys, jnp.asarray(b), chi, trunc, d, rule.mode)
+        acc = acc + a
+        tri = tri + t
+    return configs, keys, None, acc, tri

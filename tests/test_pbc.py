@@ -191,3 +191,83 @@ def test_pbc_6x6_contracts_finite():
     tn = jnp.asarray(rng.normal(size=(6, 6, D, D, D, D)) * 0.5)
     mant, logw = contract_pbc(tn, chi=8, trunc=TruncParams(8, 1, 0.0))
     assert np.isfinite(float(mant)) and np.isfinite(float(logw))
+
+
+def test_pbc_host_sweep_matches_scanned():
+    """The host-driven per-bond-dispatch PBC sweep (the TPU path) follows
+    EXACTLY the same per-chain trajectories as the scanned mc_sweep_pbc,
+    for both the exchange and the Suwa-Todo full-space rules."""
+    from peps_tpu.montecarlo.sweep import UpdateRule
+    from peps_tpu.montecarlo.sweep_pbc import (mc_sweep_pbc,
+                                               mc_sweep_pbc_host)
+    from peps_tpu.tps import random_tps
+
+    ly = lx = 4
+    D, chi = 2, 8
+    tp = TruncParams(chi, 1, 1e-10)
+    tps = random_tps(jax.random.PRNGKey(3), ly, lx, 2, D, jnp.float32)
+    tps = tps / jnp.max(jnp.abs(tps))
+    cfg0 = jnp.asarray((np.indices((ly, lx)).sum(0) % 2).astype(np.int32))
+    cfgs = jnp.stack([cfg0, 1 - cfg0])
+    keys = jax.random.split(jax.random.PRNGKey(7), 2)
+
+    for mode in ("exchange", "full"):
+        rule = UpdateRule(mode)
+        ref_cfgs, ref_accs, ref_tris = [], [], []
+        for i in range(2):
+            c, _, stats = mc_sweep_pbc(tps, cfgs[i], keys[i], chi, tp, rule)
+            ref_cfgs.append(np.asarray(c))
+            ref_accs.append(int(stats.accepted))
+            ref_tris.append(int(stats.trials))
+        got_cfgs, _, _, acc, tri = mc_sweep_pbc_host(
+            tps, cfgs, keys, chi, tp, rule)
+        np.testing.assert_array_equal(np.asarray(got_cfgs),
+                                      np.stack(ref_cfgs), err_msg=mode)
+        np.testing.assert_array_equal(np.asarray(acc), np.array(ref_accs),
+                                      err_msg=mode)
+        np.testing.assert_array_equal(np.asarray(tri), np.array(ref_tris),
+                                      err_msg=mode)
+
+
+def test_pbc_host_collect_matches_scanned():
+    """mc_energy_grad and measure() on the host-driven PBC path equal the
+    jitted scanned path (same key streams -> identical trajectories and
+    statistics)."""
+    from peps_tpu.algorithm.mc_evaluator import MCParams, mc_energy_grad
+    from peps_tpu.algorithm.measure import MeasurementParams, measure
+    from peps_tpu.montecarlo.sweep import UpdateRule
+
+    n, D, chi = 4, 2, 8
+    model = spin.heisenberg(1.0)
+    mt = ModelTensors.from_model(model, jnp.float32)
+    tp = TruncParams(chi, 1, 1e-10)
+    tps = random_tps(jax.random.PRNGKey(21), n, n, 2, D, dtype=jnp.float32,
+                     bc=PBC, scale=0.8)
+    tps = tps / jnp.max(jnp.abs(tps))
+    cfg0 = jnp.asarray((np.indices((n, n)).sum(0) % 2).astype(np.int32))
+    cfgs = jnp.stack([cfg0, 1 - cfg0])
+    rule = UpdateRule("exchange")
+    key = jax.random.PRNGKey(5)
+
+    evs = {}
+    for host in (False, True):
+        mp = MCParams(num_samples=2, nchains=2, host_sweep=host)
+        ev, cfgs_out, _, _ = mc_energy_grad(
+            tps, cfgs, key, mt, chi, tp, rule, mp,
+            with_sr_buffers=False, bc=PBC)
+        evs[host] = (float(ev.energy), np.asarray(ev.gradient),
+                     np.asarray(cfgs_out))
+    assert abs(evs[True][0] - evs[False][0]) < 1e-5
+    np.testing.assert_allclose(evs[True][1], evs[False][1],
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(evs[True][2], evs[False][2])
+
+    stats = {}
+    for host in (False, True):
+        mp = MeasurementParams(num_samples=3, num_warmup_sweeps=2,
+                               nchains=2, measure_offdiag_corr=False,
+                               host_sweep=host)
+        m = measure(tps, mt, mp, chi, tp, rule, cfgs,
+                    jax.random.PRNGKey(9), bc=PBC)
+        stats[host] = m.stats["energy"]
+    assert abs(stats[True][0] - stats[False][0]) < 1e-5, stats
