@@ -15,6 +15,8 @@ fermionic U(1) tensors) end to end on TPU:
    singlet_pair_correlation_measurement_mixin.h).
 
 Run: python examples/flagship_tj_6x6.py [quick]
+Phase checkpoints land in examples/out_flagship/; `resume` skips SU+VMC
+and re-enters at the measurement phase from the saved lowest state.
 """
 import json
 import os
@@ -43,7 +45,11 @@ from peps_tpu.optimizer.cg import CGParams
 from peps_tpu.peps import SimpleUpdateParams
 
 
-def main(quick=False):
+OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "out_flagship")
+
+
+def main(quick=False, resume=False):
     ly = lx = 6
     d_su, d_vmc, chi = 4, 8, 32
     t, j_ex = 3.0, 1.0
@@ -59,57 +65,81 @@ def main(quick=False):
     print(f"== {ly}x{lx} t-J, t={t} J={j_ex}, N_up={n_up} N_dn={n_dn} "
           f"holes={ly * lx - n_up - n_dn} ==", flush=True)
 
-    t0 = time.time()
+    os.makedirs(OUT_DIR, exist_ok=True)
+    ckpt = os.path.join(OUT_DIR, "vmc_quick.npz" if quick else "vmc.npz")
     space4 = space_for_model(model, d_su)
-    charges = u1_charges_for(model, space4, occ0)
-    peps = product_fermion_peps(ly, lx, space4, occ0)
-    sched = [(40, 0.2), (40, 0.05)] if quick else [(120, 0.2), (120, 0.05),
-                                                   (80, 0.02)]
-    for steps, tau in sched:
-        out = fermion_simple_update(
-            peps, model, space4,
-            SimpleUpdateParams(steps=steps, tau=tau,
-                               trunc=TruncParams(d_su, 1, 1e-12)),
-            charges=charges)
-        peps = out.peps
-    t_su = time.time() - t0
-    print(f"SU(D={d_su}, U1) done in {t_su:.0f}s, E0~{out.estimated_e0:.4f}",
-          flush=True)
-
-    tps4 = to_tps_fermion(peps).astype(jnp.float32)
-    tps4 = tps4 / jnp.max(jnp.abs(tps4))
     space8 = FermionSpace(space4.phys_parity, 4, 4)
-    tps = expand_bond_dim_graded(tps4, space4, space8, noise=1e-3,
-                                 key=jax.random.PRNGKey(11))
-    gm = GradedFermionModel.from_model(model, space8, tps.dtype)
-
-    t0 = time.time()
-    n_iters = 10 if quick else 120
-    vp = VMCParams(
-        chi=chi, trunc=TruncParams(chi, 1, 1e-6, scheme="sketch"),
-        mc=MCParams(num_samples=1, num_warmup_sweeps=30 if quick else 100,
-                    nchains=nchains, eval_chunk=8),
-        optimizer=opt.OptimizerParams(
-            max_iters=n_iters,
-            algorithm=opt.SRParams(cg=CGParams(max_iter=40, tol=1e-5),
-                                   diag_shift=1e-3),
-            lr=0.05),
-        occupancy=((0, ly * lx - n_up - n_dn), (1, n_up), (2, n_dn)))
-    res = vmc_optimize(tps, gm, vp, jax.random.PRNGKey(5))
-    t_vmc = time.time() - t0
     n_sites = ly * lx
-    print(f"VMC(SR, D={d_vmc}) {n_iters} iters in {t_vmc:.0f}s: "
-          f"E = {res.energies[-1]:.4f}, lowest {res.lowest_energy:.4f} "
-          f"({res.lowest_energy / n_sites:.5f}/site)", flush=True)
+
+    if resume and os.path.exists(ckpt):
+        z = np.load(ckpt)
+        lowest_state = jnp.asarray(z["lowest_state"])
+        final_configs = jnp.asarray(z["final_configs"])
+        lowest_energy = float(z["lowest_energy"])
+        t_su = float(z["t_su"])
+        t_vmc = float(z["t_vmc"])
+        gm = GradedFermionModel.from_model(model, space8, lowest_state.dtype)
+        print(f"resumed from {ckpt}: lowest {lowest_energy:.4f} "
+              f"({lowest_energy / n_sites:.5f}/site)", flush=True)
+    else:
+        t0 = time.time()
+        charges = u1_charges_for(model, space4, occ0)
+        peps = product_fermion_peps(ly, lx, space4, occ0)
+        sched = [(40, 0.2), (40, 0.05)] if quick else [(120, 0.2),
+                                                       (120, 0.05),
+                                                       (80, 0.02)]
+        for steps, tau in sched:
+            out = fermion_simple_update(
+                peps, model, space4,
+                SimpleUpdateParams(steps=steps, tau=tau,
+                                   trunc=TruncParams(d_su, 1, 1e-12)),
+                charges=charges)
+            peps = out.peps
+        t_su = time.time() - t0
+        print(f"SU(D={d_su}, U1) done in {t_su:.0f}s, "
+              f"E0~{out.estimated_e0:.4f}", flush=True)
+
+        tps4 = to_tps_fermion(peps).astype(jnp.float32)
+        tps4 = tps4 / jnp.max(jnp.abs(tps4))
+        tps = expand_bond_dim_graded(tps4, space4, space8, noise=1e-3,
+                                     key=jax.random.PRNGKey(11))
+        gm = GradedFermionModel.from_model(model, space8, tps.dtype)
+
+        t0 = time.time()
+        n_iters = 10 if quick else 120
+        vp = VMCParams(
+            chi=chi, trunc=TruncParams(chi, 1, 1e-6, scheme="sketch"),
+            mc=MCParams(num_samples=1,
+                        num_warmup_sweeps=30 if quick else 100,
+                        nchains=nchains, eval_chunk=8),
+            optimizer=opt.OptimizerParams(
+                max_iters=n_iters,
+                algorithm=opt.SRParams(cg=CGParams(max_iter=40, tol=1e-5),
+                                       diag_shift=1e-3),
+                lr=0.05),
+            occupancy=((0, ly * lx - n_up - n_dn), (1, n_up), (2, n_dn)))
+        res = vmc_optimize(tps, gm, vp, jax.random.PRNGKey(5))
+        t_vmc = time.time() - t0
+        print(f"VMC(SR, D={d_vmc}) {n_iters} iters in {t_vmc:.0f}s: "
+              f"E = {res.energies[-1]:.4f}, lowest {res.lowest_energy:.4f} "
+              f"({res.lowest_energy / n_sites:.5f}/site)", flush=True)
+        lowest_state = res.lowest_state
+        final_configs = res.final_configs
+        lowest_energy = float(res.lowest_energy)
+        np.savez(ckpt, lowest_state=np.asarray(lowest_state),
+                 final_configs=np.asarray(final_configs),
+                 lowest_energy=lowest_energy,
+                 energies=np.asarray(res.energies), t_su=t_su, t_vmc=t_vmc)
+        print(f"checkpoint -> {ckpt}", flush=True)
 
     t0 = time.time()
     n_meas = 20 if quick else 100
-    m = measure(res.lowest_state, gm,
+    m = measure(lowest_state, gm,
                 MeasurementParams(num_samples=n_meas, num_warmup_sweeps=30,
                                   nchains=nchains, measure_pair_corr=False,
                                   eval_chunk=8),
                 chi, TruncParams(chi, 1, 1e-6, scheme="sketch"), None,
-                res.final_configs, jax.random.PRNGKey(9))
+                final_configs, jax.random.PRNGKey(9))
     t_meas = time.time() - t0
     e_mean, e_err = m.stats["energy"]
     print(f"measure {n_meas} samples in {t_meas:.0f}s: "
@@ -122,12 +152,12 @@ def main(quick=False):
     # dedicated pass at smaller chain count
     t0 = time.time()
     n_pc = 4 if quick else 40
-    m_pc = measure(res.lowest_state, gm,
+    m_pc = measure(lowest_state, gm,
                    MeasurementParams(num_samples=n_pc, num_warmup_sweeps=10,
                                      nchains=8, measure_pair_corr=True,
                                      eval_chunk=8),
                    chi, TruncParams(chi, 1, 1e-6, scheme="sketch"), None,
-                   res.final_configs[:8], jax.random.PRNGKey(13))
+                   final_configs[:8], jax.random.PRNGKey(13))
     t_pc = time.time() - t0
     m.stats.update({k: v for k, v in m_pc.stats.items()
                     if k.startswith("pair_corr")})
@@ -135,7 +165,7 @@ def main(quick=False):
 
     summary = {
         "config": f"{ly}x{lx} t-J t={t} J={j_ex} {n_up + n_dn}e/2h D=8 chi=32",
-        "e_vmc_lowest_per_site": round(float(res.lowest_energy) / n_sites, 5),
+        "e_vmc_lowest_per_site": round(lowest_energy / n_sites, 5),
         "e_meas_per_site": round(float(e_mean) / n_sites, 5),
         "e_meas_err_per_site": round(float(e_err) / n_sites, 5),
         "wall_su_s": round(t_su, 1), "wall_vmc_s": round(t_vmc, 1),
@@ -153,8 +183,12 @@ def main(quick=False):
             decay[dist] = round(float(np.mean(vals)), 6)
         summary["pair_corr_row_decay"] = decay
     print(json.dumps(summary), flush=True)
+    with open(os.path.join(
+            OUT_DIR, "summary_quick.json" if quick else "summary.json"),
+            "w") as f:
+        json.dump(summary, f, indent=1)
     return summary
 
 
 if __name__ == "__main__":
-    main(quick=(len(sys.argv) > 1 and sys.argv[1] == "quick"))
+    main(quick="quick" in sys.argv[1:], resume="resume" in sys.argv[1:])

@@ -313,6 +313,47 @@ def charged_svd_truncated(m: jnp.ndarray, row_masks, col_masks,
     return u, s, vt, terr
 
 
+def sector_qr(m: jnp.ndarray, col_idx, row_masks):
+    """Charge-sector QR of a covariant matrix (the reduction step of the
+    reference's QR-QR-gate-SVD bond projection,
+    square_lattice_peps_projection_impl.h:104-122, on graded/U(1) tensors).
+
+    col_idx: STATIC per-sector column index tuples (disjoint, jointly
+    covering every structurally nonzero column). row_masks: [T, R] 0/1
+    (may be traced — per-bond sector membership) selecting each sector's
+    rows. Nonzero entries of m must satisfy the sector pairing
+    (row in sector t <=> col in sector t).
+
+    Returns (q [R, K], r [K, C]) with K = sum(len(c)) and the inner bond
+    laid out sector-major in col_idx order; plain matmul reconstructs
+    q @ r = m on the sector support, and q's kept columns are exactly
+    supported on their sector's rows (no charge leakage)."""
+    C = m.shape[1]
+    K = sum(len(c) for c in col_idx)
+    qs = []
+    r_full = jnp.zeros((K, C), m.dtype)
+    off = 0
+    for t, cols in enumerate(col_idx):
+        cols = np.asarray(cols, dtype=np.int64)
+        rm = row_masks[t].astype(m.dtype)
+        mc = m[:, cols] * rm[:, None]
+        qt, rt = jnp.linalg.qr(mc, mode="reduced")
+        qs.append(qt * rm[:, None])
+        r_full = r_full.at[np.arange(off, off + len(cols))[:, None],
+                           cols[None, :]].set(rt)
+        off += len(cols)
+    return jnp.concatenate(qs, axis=1), r_full
+
+
+def sector_lq(m: jnp.ndarray, row_idx, col_masks):
+    """LQ counterpart of sector_qr: m = l @ q (plain matmul) with
+    l [R, K] holding the (statically gathered) sector rows and q [K, C]
+    masked to each sector's columns. Plain transpose (no conjugation) of
+    sector_qr on m.T — q's rows stay orthonormal (q q^H = I blockwise)."""
+    q2, r2 = sector_qr(m.T, row_idx, col_masks)
+    return r2.T, q2.T
+
+
 def graded_qr(m: jnp.ndarray, pr, pc):
     """QR of a parity-even matrix, blockwise. Returns (q, r, bond_parity):
     q [R, D], r [D, C] with D = (#even rows kept + #odd rows kept) =

@@ -26,7 +26,8 @@ import numpy as np
 
 from peps_tpu.fermion.graded import (GT, charged_svd_truncated, gcontract,
                                      graded_svd_truncated, gtranspose,
-                                     operator_gt, split_parity)
+                                     operator_gt, sector_lq, sector_qr,
+                                     split_parity)
 from peps_tpu.lattice import boundary_mask
 from peps_tpu.linalg import TruncParams, expm_taylor, safe_inverse
 from peps_tpu.peps import PEPS, SimpleUpdateParams, SimpleUpdateResult
@@ -183,6 +184,166 @@ def _u1_bond_masks(charges: U1Charges, space: FermionSpace, orient: str,
     col_masks = (h0[None, None, None, :]
                  == (kb[:, :, None] + secs[None, None, :])[..., None])
     return row_masks.astype(np.float64), col_masks.astype(np.float64)
+
+
+class _ReducedLayout(NamedTuple):
+    """Static metadata for the QR-reduced graded pair projection
+    (reference's QR-QR-gate-SVD, square_lattice_peps_projection_impl.h:
+    104-122). Inner bonds are laid out sector-major; sectors are flux
+    values for U(1) (parities for Z2-only)."""
+    cols_a: tuple        # per-sector col indices into (p, r_cut) fused
+    rows_b: tuple        # per-sector row indices into (p, l_cut) fused
+    sec_a: tuple         # sector flux values, A-side inner bond
+    sec_b: tuple         # sector flux values, B-side inner bond
+    pk_a: tuple          # inner-bond parities (per slot)
+    pk_b: tuple
+    svd_rm: tuple        # [S][d*Ka] static 0/1 row masks, core SVD
+    svd_cm: tuple        # [S][d*Kb] static 0/1 col masks
+    keep: tuple          # per-sector kept counts (sum = D)
+    pbn: tuple           # new-bond parity layout
+    a0: tuple            # spectator-group flux, A rows (u,l,d)/(u,l,r)
+    d0: tuple            # spectator-group flux, B cols (u,d,r)/(l,d,r)
+
+
+def _reduced_layout(space: FermionSpace,
+                    charges: U1Charges | None) -> _ReducedLayout:
+    """Build the static sector layout shared by both bond orientations
+    (the A-row / B-col flux arrays coincide between h and v because the
+    leg arrow patterns match: rows (dual,dual,primal), cols the same)."""
+    pp = np.asarray(space.phys_parity)
+    pb = np.asarray(space.bond_parity)
+    if charges is None:
+        qp, qb = pp, pb
+        mod = 2
+        keep = (space.d_even, space.d_odd)
+        pbn = split_parity(space.d_even, space.d_odd)
+        sec_new = (0, 1)
+    else:
+        qp = np.asarray(charges.phys_charge)
+        qb = np.asarray(charges.bond_charge)
+        mod = 0
+        keep = charges.keep_counts
+        pbn = tuple(q % 2 for q in charges.bond_charge)
+        sec_new = charges.sector_charges
+
+    def red(x):
+        return x % 2 if mod else x
+
+    c0 = red(_group_flux([tuple(qp), tuple(qb)], [1, 1]))    # (p+, cut+) A
+    b0 = red(_group_flux([tuple(qp), tuple(qb)], [1, -1]))   # (p+, cut-) B
+    sec_a = tuple(sorted(set(c0.tolist())))
+    sec_b = tuple(sorted(set(b0.tolist())))
+    cols_a = tuple(tuple(np.where(c0 == t)[0].tolist()) for t in sec_a)
+    rows_b = tuple(tuple(np.where(b0 == s)[0].tolist()) for s in sec_b)
+    qk_a = np.concatenate([np.full(len(c), t, dtype=np.int64)
+                           for t, c in zip(sec_a, cols_a)])
+    # L_B is covariant with constant 0: qp - ql + qk_b = 0 on sector s
+    qk_b = np.concatenate([np.full(len(r), -s, dtype=np.int64)
+                           for s, r in zip(sec_b, rows_b)])
+    pk_a = tuple((qk_a % 2).tolist())
+    pk_b = tuple((qk_b % 2).tolist())
+    # core SVD sectors: rows (PA'+, k_a-) with qp - qk_a == -q;
+    # cols (PB'+, k_b+) with qp + qk_b == q  (q = new-bond sector charge)
+    rf = red(_group_flux([tuple(qp), tuple(qk_a)], [1, -1]))
+    cf = red(_group_flux([tuple(qp), tuple(qk_b)], [1, 1]))
+    svd_rm = tuple(tuple((rf == red(np.asarray(-q))).astype(np.float64)
+                         .tolist()) for q in sec_new)
+    svd_cm = tuple(tuple((cf == red(np.asarray(q))).astype(np.float64)
+                         .tolist()) for q in sec_new)
+    a0 = red(_group_flux([tuple(qb)] * 3, [-1, -1, 1]))      # (u-,l-,d/r+)
+    d0 = red(_group_flux([tuple(qb)] * 3, [-1, 1, 1]))       # (u/l-,d+,r+)
+    return _ReducedLayout(cols_a, rows_b, sec_a, sec_b, pk_a, pk_b,
+                          svd_rm, svd_cm, keep, pbn,
+                          tuple(a0.tolist()), tuple(d0.tolist()))
+
+
+def _reduced_qr_masks(layout: _ReducedLayout, charges: U1Charges | None,
+                      orient: str, ly: int, lx: int):
+    """Per-bond row masks for the A-side sector QR ([.., T, D^3]) and col
+    masks for the B-side sector LQ ([.., S, D^3]). Z2-only: static [T/S,
+    D^3] shared by every bond (kappa == 0 mod 2); U(1): per-bond from the
+    site kappa constants."""
+    a0 = np.asarray(layout.a0)
+    d0 = np.asarray(layout.d0)
+    if charges is None:
+        qr_rm = np.stack([(a0 % 2 == t % 2) for t in layout.sec_a]) \
+            .astype(np.float64)
+        lq_cm = np.stack([(d0 % 2 == s % 2) for s in layout.sec_b]) \
+            .astype(np.float64)
+        return qr_rm, lq_cm
+    kap = np.asarray(charges.kappa)
+    if orient == "h":
+        ka, kb = kap[:, :lx - 1], kap[:, 1:]
+    else:
+        ka, kb = kap[:ly - 1], kap[1:]
+    secs_a = np.asarray(layout.sec_a)
+    secs_b = np.asarray(layout.sec_b)
+    qr_rm = (a0[None, None, None, :]
+             == (ka[:, :, None] - secs_a[None, None, :])[..., None])
+    lq_cm = (d0[None, None, None, :]
+             == (kb[:, :, None] - secs_b[None, None, :])[..., None])
+    return qr_rm.astype(np.float64), lq_cm.astype(np.float64)
+
+
+def _reduced_project(At: GT, Bt: GT, gate, h_bond, space: FermionSpace,
+                     layout: _ReducedLayout, qr_rm, lq_cm):
+    """QR-reduced shared tail of the graded pair projection.
+
+    At: gated-pair A site with axes (row legs... | p, cut) — rows arrows
+    (dual, dual, primal), cols (primal, primal). Bt: B site with axes
+    (p, cut | col legs...) — rows (primal, dual), cols (dual, primal,
+    primal). lam_mid is already absorbed into At's cut axis.
+
+    Same singular spectrum as the full-theta SVD (`_svd_split`): theta =
+    (Q_A x 1) core (1 x Q_B) with blockwise-isometric Q factors, so
+    truncating the (d K_a) x (d K_b) core equals truncating the
+    (d D^3) x (d D^3) theta — at ~(D^2/d)^3x less SVD cost.
+
+    Returns (ga_t, gb_t, lam_new, bond_e, trunc_err, log_norm): ga_t axes
+    (row legs..., PA', new), gb_t axes (new, PB', col legs...)."""
+    pp, pb = space.phys_parity, space.bond_parity
+    d, D = len(pp), space.bond_dim
+    ka = sum(len(c) for c in layout.cols_a)
+    kb = sum(len(r) for r in layout.rows_b)
+
+    m_a = At.data.reshape(D ** 3, d * D)
+    q_a, r_a = sector_qr(m_a, layout.cols_a, qr_rm)
+    sgn_a = jnp.asarray(1.0 - 2.0 * np.asarray(layout.pk_a), r_a.dtype)
+    RA = GT((sgn_a[:, None] * r_a).reshape(ka, d, D),
+            (layout.pk_a, pp, pb), (True, False, False))
+    QA = GT(q_a.reshape(D, D, D, ka), (pb, pb, pb, layout.pk_a),
+            At.dual[:3] + (False,))
+
+    m_b = Bt.data.reshape(d * D, D ** 3)
+    l_b, q_b = sector_lq(m_b, layout.rows_b, lq_cm)
+    sgn_b = jnp.asarray(1.0 - 2.0 * np.asarray(layout.pk_b), q_b.dtype)
+    LB = GT(l_b.reshape(d, D, kb), (pp, pb, layout.pk_b),
+            (False, True, False))
+    QB = GT((sgn_b[:, None] * q_b).reshape(kb, D, D, D),
+            (layout.pk_b, pb, pb, pb), (True,) + Bt.dual[2:])
+
+    theta = gcontract(RA, (2,), LB, (1,))        # (k_a, pA, pB, k_b)
+    G = operator_gt(jnp.asarray(gate, m_a.dtype), pp, pp, pp, pp)
+    th = gcontract(G, (2, 3), theta, (1, 2))     # (PA', PB', k_a, k_b)
+    bond_e = _bond_energy_diag(th, h_bond, theta, space)
+
+    tht = gtranspose(th, (0, 2, 1, 3))           # (PA', k_a | PB', k_b)
+    mat = tht.data.reshape(d * ka, d * kb)
+    rm = jnp.asarray(np.asarray(layout.svd_rm), mat.dtype)
+    cm = jnp.asarray(np.asarray(layout.svd_cm), mat.dtype)
+    u, s, vt, terr = charged_svd_truncated(mat, rm, cm, layout.keep)
+    norm = jnp.linalg.norm(s)
+    lam_new = s / jnp.maximum(norm, jnp.finfo(s.dtype).tiny)
+    pbn = layout.pbn
+    sgn_n = jnp.asarray(1.0 - 2.0 * np.asarray(pbn), vt.dtype)
+
+    U = GT(u.reshape(d, ka, len(pbn)), (pp, layout.pk_a, pbn),
+           (False, True, False))
+    ga_t = gcontract(QA, (3,), U, (1,))          # (rows..., PA', new)
+    V = GT((sgn_n[:, None] * vt).reshape(len(pbn), d, kb),
+           (pbn, pp, layout.pk_b), (True, False, False))
+    gb_t = gcontract(V, (2,), QB, (0,))          # (new, PB', cols...)
+    return ga_t, gb_t, lam_new, bond_e, terr, jnp.log(norm)
 
 
 def product_fermion_peps(ly: int, lx: int, space: FermionSpace,
@@ -370,17 +531,65 @@ def _pair_kernel_v(a, b, lu_a, ll_a, lr_a, ll_b, ld_b, lr_b, lam_mid,
     return ga, gb, lam_new, bond_e, terr, log_norm
 
 
+def _pair_kernel_h_qr(a, b, lu_a, ll_a, ld_a, lu_b, ld_b, lr_b, lam_mid,
+                      gate, h_bond, qr_rm, lq_cm, space: FermionSpace,
+                      layout: _ReducedLayout):
+    """QR-reduced variant of `_pair_kernel_h` (same contract, same
+    returns; identical up to SVD gauge and float error)."""
+    pp, pb = space.phys_parity, space.bond_parity
+    duals = (False, True, True, False, False)
+    par5 = (pp, pb, pb, pb, pb)
+    a_abs = jnp.einsum("puldr,u,l,d,r->puldr", a, lu_a, ll_a, ld_a, lam_mid)
+    b_abs = jnp.einsum("puldr,u,d,r->puldr", b, lu_b, ld_b, lr_b)
+    At = gtranspose(GT(a_abs, par5, duals), (1, 2, 3, 0, 4))   # u,l,d|p,r
+    Bt = gtranspose(GT(b_abs, par5, duals), (0, 2, 1, 3, 4))   # p,l|u,d,r
+    ga_t, gb_t, lam_new, bond_e, terr, ln = _reduced_project(
+        At, Bt, gate, h_bond, space, layout, qr_rm, lq_cm)
+    ga = gtranspose(ga_t, (3, 0, 1, 2, 4)).data    # p,u,l,d,r_new
+    gb = gtranspose(gb_t, (1, 2, 0, 3, 4)).data    # p,u,l_new,d,r
+    ga = jnp.einsum("puldr,u,l,d->puldr", ga, safe_inverse(lu_a),
+                    safe_inverse(ll_a), safe_inverse(ld_a))
+    gb = jnp.einsum("puldr,u,d,r->puldr", gb, safe_inverse(lu_b),
+                    safe_inverse(ld_b), safe_inverse(lr_b))
+    return ga, gb, lam_new, bond_e, terr, ln
+
+
+def _pair_kernel_v_qr(a, b, lu_a, ll_a, lr_a, ll_b, ld_b, lr_b, lam_mid,
+                      gate, h_bond, qr_rm, lq_cm, space: FermionSpace,
+                      layout: _ReducedLayout):
+    """QR-reduced variant of `_pair_kernel_v`."""
+    pp, pb = space.phys_parity, space.bond_parity
+    duals = (False, True, True, False, False)
+    par5 = (pp, pb, pb, pb, pb)
+    a_abs = jnp.einsum("puldr,u,l,d,r->puldr", a, lu_a, ll_a, lam_mid, lr_a)
+    b_abs = jnp.einsum("puldr,l,d,r->puldr", b, ll_b, ld_b, lr_b)
+    At = gtranspose(GT(a_abs, par5, duals), (1, 2, 4, 0, 3))   # u,l,r|p,d
+    Bt = GT(b_abs, par5, duals)                                # p,u|l,d,r
+    ga_t, gb_t, lam_new, bond_e, terr, ln = _reduced_project(
+        At, Bt, gate, h_bond, space, layout, qr_rm, lq_cm)
+    ga = gtranspose(ga_t, (3, 0, 1, 4, 2)).data    # p,u,l,d_new,r
+    gb = gtranspose(gb_t, (1, 0, 2, 3, 4)).data    # p,u_new,l,d,r
+    ga = jnp.einsum("puldr,u,l,r->puldr", ga, safe_inverse(lu_a),
+                    safe_inverse(ll_a), safe_inverse(lr_a))
+    gb = jnp.einsum("puldr,l,d,r->puldr", gb, safe_inverse(ll_b),
+                    safe_inverse(ld_b), safe_inverse(lr_b))
+    return ga, gb, lam_new, bond_e, terr, ln
+
+
 # ---------------------------------------------------------------------------
 # checkerboard sweep + driver (mirrors peps_tpu.peps.simple_update)
 # ---------------------------------------------------------------------------
 
 
 def _apply_h_sublattice(peps: PEPS, xs, gate, h_bond, space: FermionSpace,
-                        u1_masks=None, u1_meta=None):
+                        u1_masks=None, u1_meta=None, reduced=None):
     """Batched graded update of site-disjoint horizontal bonds (y, x)-(y,
     x+1) for x in xs, all rows. gate/h_bond: [Ly, Lx-1, d,d,d,d].
     u1_masks: optional ([Ly, Lx-1, S, R], [Ly, Lx-1, S, C]) per-bond flux
-    masks; u1_meta: (keep_counts, bond_parity) static."""
+    masks; u1_meta: (keep_counts, bond_parity) static. reduced: optional
+    (_ReducedLayout, qr_rm, lq_cm) switching to the QR-reduced kernel —
+    qr/lq masks are [T, D^3] (Z2, shared) or [Ly, Lx-1, T, D^3] (U1,
+    per-bond); takes precedence over u1_masks."""
     g, lam_v, lam_h = peps
     ly = g.shape[0]
     d = g.shape[2]
@@ -397,7 +606,24 @@ def _apply_h_sublattice(peps: PEPS, xs, gate, h_bond, space: FermionSpace,
     lr_b = lam_h[:, xs_arr + 2].reshape(-1, D)
     gate_b = gate[:, xs_arr].reshape(-1, d, d, d, d)
     h_b = h_bond[:, xs_arr].reshape(-1, d, d, d, d)
-    if u1_masks is None:
+    if reduced is not None:
+        layout, qr_rm, lq_cm = reduced
+        if np.asarray(qr_rm).ndim == 2:        # Z2: shared static masks
+            rm = jnp.asarray(qr_rm)
+            cm = jnp.asarray(lq_cm)
+            mask_axes = (None, None)
+        else:                                  # U(1): per-bond masks
+            rm = jnp.asarray(qr_rm[:, np.asarray(xs)]).reshape(
+                -1, *qr_rm.shape[2:])
+            cm = jnp.asarray(lq_cm[:, np.asarray(xs)]).reshape(
+                -1, *lq_cm.shape[2:])
+            mask_axes = (0, 0)
+        ga, gb, lam_new, be, terr, ln = jax.vmap(
+            _pair_kernel_h_qr,
+            in_axes=(0,) * 11 + mask_axes + (None, None))(
+            gA, gB, lu_a, ll_a, ld_a, lu_b, ld_b, lr_b, lam_mid, gate_b,
+            h_b, rm, cm, space, layout)
+    elif u1_masks is None:
         ga, gb, lam_new, be, terr, ln = jax.vmap(
             _pair_kernel_h, in_axes=(0,) * 11 + (None,))(
             gA, gB, lu_a, ll_a, ld_a, lu_b, ld_b, lr_b, lam_mid, gate_b,
@@ -424,7 +650,7 @@ def _apply_h_sublattice(peps: PEPS, xs, gate, h_bond, space: FermionSpace,
 
 
 def _apply_v_sublattice(peps: PEPS, ys, gate, h_bond, space: FermionSpace,
-                        u1_masks=None, u1_meta=None):
+                        u1_masks=None, u1_meta=None, reduced=None):
     """Batched graded update of vertical bonds (y, x)-(y+1, x) for y in ys."""
     g, lam_v, lam_h = peps
     lx = g.shape[1]
@@ -442,7 +668,24 @@ def _apply_v_sublattice(peps: PEPS, ys, gate, h_bond, space: FermionSpace,
     ld_b = lam_v[ys_arr + 2].reshape(-1, D)
     gate_b = gate[ys_arr].reshape(-1, d, d, d, d)
     h_b = h_bond[ys_arr].reshape(-1, d, d, d, d)
-    if u1_masks is None:
+    if reduced is not None:
+        layout, qr_rm, lq_cm = reduced
+        if np.asarray(qr_rm).ndim == 2:        # Z2: shared static masks
+            rm = jnp.asarray(qr_rm)
+            cm = jnp.asarray(lq_cm)
+            mask_axes = (None, None)
+        else:                                  # U(1): per-bond masks
+            rm = jnp.asarray(qr_rm[np.asarray(ys)]).reshape(
+                -1, *qr_rm.shape[2:])
+            cm = jnp.asarray(lq_cm[np.asarray(ys)]).reshape(
+                -1, *lq_cm.shape[2:])
+            mask_axes = (0, 0)
+        ga, gb, lam_new, be, terr, ln = jax.vmap(
+            _pair_kernel_v_qr,
+            in_axes=(0,) * 11 + mask_axes + (None, None))(
+            gA, gB, lu_a, ll_a, lr_a, ll_b, ld_b, lr_b, lam_mid, gate_b,
+            h_b, rm, cm, space, layout)
+    elif u1_masks is None:
         ga, gb, lam_new, be, terr, ln = jax.vmap(
             _pair_kernel_v, in_axes=(0,) * 11 + (None,))(
             gA, gB, lu_a, ll_a, lr_a, ll_b, ld_b, lr_b, lam_mid, gate_b,
@@ -469,7 +712,8 @@ def _apply_v_sublattice(peps: PEPS, ys, gate, h_bond, space: FermionSpace,
 
 
 def fermion_sweep(peps: PEPS, gate_h, gate_v, h_h, h_v,
-                  space: FermionSpace, u1_h=None, u1_v=None, u1_meta=None):
+                  space: FermionSpace, u1_h=None, u1_v=None, u1_meta=None,
+                  reduced_h=None, reduced_v=None):
     """One checkerboard sweep over all horizontal then vertical bonds."""
     ly, lx = peps.ly, peps.lx
     e_sum = jnp.zeros((), peps.gammas.real.dtype)
@@ -479,13 +723,13 @@ def fermion_sweep(peps: PEPS, gate_h, gate_v, h_h, h_v,
         if not xs:
             continue
         peps, e, t, ln = _apply_h_sublattice(peps, xs, gate_h, h_h, space,
-                                             u1_h, u1_meta)
+                                             u1_h, u1_meta, reduced_h)
         e_sum, terr, log_norm = e_sum + e, jnp.maximum(terr, t), log_norm + ln
     for ys in (tuple(range(0, ly - 1, 2)), tuple(range(1, ly - 1, 2))):
         if not ys:
             continue
         peps, e, t, ln = _apply_v_sublattice(peps, ys, gate_v, h_v, space,
-                                             u1_v, u1_meta)
+                                             u1_v, u1_meta, reduced_v)
         e_sum, terr, log_norm = e_sum + e, jnp.maximum(terr, t), log_norm + ln
     return peps, (e_sum, log_norm, terr)
 
@@ -493,14 +737,20 @@ def fermion_sweep(peps: PEPS, gate_h, gate_v, h_h, h_v,
 def fermion_simple_update(peps: PEPS, model, space: FermionSpace,
                           params: SimpleUpdateParams,
                           step_observer: Callable | None = None,
-                          charges: U1Charges | None = None
+                          charges: U1Charges | None = None,
+                          qr_reduce: bool = False
                           ) -> SimpleUpdateResult:
     """Imaginary-time evolution of a fermionic PEPS (the reference's graded
     SimpleUpdateExecutor, validated by test_fermion_simple_update.cpp).
 
     Gates are exp(-tau h2) of the second-quantized bond Hamiltonian in the
     graded ordered basis (fermion/gates.py); single-site terms (mu, U) are
-    folded into the bonds exactly."""
+    folded into the bonds exactly.
+
+    qr_reduce=True switches the bond projection to the reference's
+    QR-QR-gate-SVD reduction (square_lattice_peps_projection_impl.h:
+    104-122): same singular spectrum, ~(D^2/d)^3x cheaper SVD — the win
+    that makes D>=8 graded SU practical."""
     from peps_tpu.fermion.gates import bond_h2
     from peps_tpu.peps import fold_site_into_bonds
 
@@ -523,17 +773,29 @@ def fermion_simple_update(peps: PEPS, model, space: FermionSpace,
     gate_v = make_gate(hv_b.reshape(-1, d * d, d * d)).reshape(
         ly - 1, lx, d, d, d, d)
 
-    u1_h = u1_v = u1_meta = None
+    u1_h = u1_v = u1_meta = reduced_h = reduced_v = None
     if charges is not None:
         assert tuple(q % 2 for q in charges.bond_charge) \
             == space.bond_parity, "bond charges must refine the parity split"
-        u1_h = _u1_bond_masks(charges, space, "h", ly, lx)
-        u1_v = _u1_bond_masks(charges, space, "v", ly, lx)
-        pbn = tuple(q % 2 for q in charges.bond_charge)
-        u1_meta = (charges.keep_counts, pbn)
+        if qr_reduce:
+            layout = _reduced_layout(space, charges)
+            reduced_h = (layout,) + _reduced_qr_masks(layout, charges, "h",
+                                                      ly, lx)
+            reduced_v = (layout,) + _reduced_qr_masks(layout, charges, "v",
+                                                      ly, lx)
+        else:
+            u1_h = _u1_bond_masks(charges, space, "h", ly, lx)
+            u1_v = _u1_bond_masks(charges, space, "v", ly, lx)
+            pbn = tuple(q % 2 for q in charges.bond_charge)
+            u1_meta = (charges.keep_counts, pbn)
+    elif qr_reduce:
+        layout = _reduced_layout(space, None)
+        reduced_h = (layout,) + _reduced_qr_masks(layout, None, "h", ly, lx)
+        reduced_v = (layout,) + _reduced_qr_masks(layout, None, "v", ly, lx)
 
     sweep = jax.jit(lambda p: fermion_sweep(p, gate_h, gate_v, hh_b, hv_b,
-                                            space, u1_h, u1_v, u1_meta))
+                                            space, u1_h, u1_v, u1_meta,
+                                            reduced_h, reduced_v))
     history = []
     e_prev, stall, converged, en = None, 0, False, float("nan")
     step = 0
