@@ -738,7 +738,7 @@ def fermion_simple_update(peps: PEPS, model, space: FermionSpace,
                           params: SimpleUpdateParams,
                           step_observer: Callable | None = None,
                           charges: U1Charges | None = None,
-                          qr_reduce: bool = False
+                          qr_reduce: bool = True
                           ) -> SimpleUpdateResult:
     """Imaginary-time evolution of a fermionic PEPS (the reference's graded
     SimpleUpdateExecutor, validated by test_fermion_simple_update.cpp).
