@@ -125,6 +125,17 @@ def mc_sweep_pbc(tps, config, key, chi: int, trunc: TruncParams,
 from functools import partial as _partial
 
 
+
+def _pbc_map_batch(ly: int, lx: int) -> int:
+    """lax.map batch size for per-config TRG contractions. Large tori must
+    map with batch 1: late-stage RG temps scale with the lattice (8x8
+    chi=32: ~2 GB padded per in-flight config), and the XLA:TPU compile of
+    a batched TRG graph degenerates (batch 1 compiles in ~50 s at 8x8,
+    batch 2 did not finish in 19 min — docs/tpu_engineering.md "TPU TRG
+    compile pathology")."""
+    n = ly * lx
+    return 1 if n > 36 else (2 if n > 16 else 4)
+
 @_partial(jax.jit, static_argnames=("chi", "trunc"))
 def _pbc_log_abs_batch(tps, configs, chi, trunc):
     rdt = tps.real.dtype if jnp.iscomplexobj(tps) else tps.dtype
@@ -134,7 +145,8 @@ def _pbc_log_abs_batch(tps, configs, chi, trunc):
         return jnp.log(jnp.maximum(jnp.abs(mant),
                                    jnp.finfo(rdt).tiny)) + logw
 
-    return jax.lax.map(one, configs, batch_size=4)
+    return jax.lax.map(one, configs,
+                       batch_size=_pbc_map_batch(tps.shape[0], tps.shape[1]))
 
 
 @_partial(jax.jit, static_argnames=("chi", "trunc"))
@@ -160,7 +172,7 @@ def _pbc_exchange_bond_step(tps, configs, la0s, keys, bond, chi, trunc):
                 accept.astype(jnp.int32), differ.astype(jnp.int32))
 
     outs = jax.lax.map(lambda args: one(*args), (configs, la0s, keys),
-                       batch_size=4)
+                       batch_size=_pbc_map_batch(tps.shape[0], tps.shape[1]))
     return outs
 
 

@@ -18,19 +18,18 @@ from peps_tpu.linalg import TruncParams
 from peps_tpu.models import spin
 from peps_tpu.montecarlo.engine import init_configs_occupancy
 from peps_tpu.montecarlo.sweep import UpdateRule, mc_sweep
-from peps_tpu.montecarlo.sweep_pbc import mc_sweep_pbc
+from peps_tpu.montecarlo.sweep_pbc import mc_sweep_pbc_host
 from peps_tpu.peps import (SimpleUpdateParams, product_peps, simple_update,
                            to_tps)
 
 NCH = 32
 DTYPE = jnp.float32
 
-# NOTE: a PBC (TRG) row was attempted and removed: the XLA TPU backend
-# either crashes (8x8: jellyfish windowing_util RET_CHECK) or fails to
-# finish compiling (4x4: >45 min) on the scanned TRG bond-sweep graph.
-# The PBC path is correctness-complete and tested on CPU
-# (tests/test_pbc.py); TPU TRG compile is tracked as a known limitation
-# (NOTES.md).
+# PBC rows run the HOST-DRIVEN bond sweep (montecarlo/sweep_pbc.py): the
+# XLA TPU backend cannot compile the fully scanned TRG bond-sweep graph
+# (docs/tpu_engineering.md "TPU TRG compile pathology"), so one per-bond
+# executable is driven from the host — the same auto-selection the MC
+# evaluator and measurer make on TPU.
 CONFIGS = [
     # (label, ly, lx, D, chi, bc)
     ("8x8", 8, 8, 8, 32, "obc"),
@@ -38,6 +37,7 @@ CONFIGS = [
     ("16x16", 16, 16, 8, 32, "obc"),
     ("12x12", 12, 12, 10, 40, "obc"),
     ("16x16 (stretch)", 16, 16, 12, 48, "obc"),
+    ("8x8 PBC (TRG)", 8, 8, 8, 32, "pbc"),
 ]
 
 
@@ -61,17 +61,31 @@ def measure_row(label, ly, lx, D, chi, bc, quick):
                                      {0: n // 2, 1: n - n // 2})
     keys0 = jax.random.PRNGKey(2)
     if bc == "pbc":
-        def sweep_k(configs, key, k):
-            def body(carry, _):
-                configs, key = carry
-                ks = jax.random.split(key, NCH + 1)
-                out, _, st = jax.vmap(
-                    mc_sweep_pbc, in_axes=(None, 0, 0, None, None, None))(
-                    tps, configs, ks[1:], chi, trunc, rule)
-                return (out, ks[0]), jnp.sum(st.accepted)
-            (configs, _), accs = jax.lax.scan(body, (configs, key), None,
-                                              length=k)
-            return configs, accs[-1]
+        # TRG with matmul-only "fast" projectors (jittered-Cholesky Gram
+        # factors + randomized bond SVD): the exact-SVD path costs
+        # 1.26 s/amplitude at 8x8 chi=32 on v5e (~95% in qdwh SVD)
+        trunc = TruncParams(chi, 1, 1e-6, scheme="fast", rsvd_power=1)
+        keys = jax.random.split(keys0, NCH)
+        la0s = None
+
+        def run_k(configs, keys, la0s, k):
+            acc = 0.0
+            for _ in range(k):
+                configs, keys, la0s, a, _ = mc_sweep_pbc_host(
+                    tps, configs, keys, chi, trunc, rule, la0s)
+                acc = acc + jnp.sum(a)
+            return configs, keys, la0s, acc
+
+        k = 1 if quick else 2
+        configs, keys, la0s, a = run_k(configs, keys, la0s, k)   # warm
+        _ = float(jnp.sum(configs)) + float(a)
+        t0 = time.time()
+        configs, keys, la0s, a = run_k(configs, keys, la0s, k)
+        _ = float(jnp.sum(configs)) + float(a)
+        dt = time.time() - t0
+        rate = NCH * k / dt
+        print(f"| {label} | {D} | {chi} | {rate:.2f} |", flush=True)
+        return rate
     else:
         tps_t = transpose_tps(tps)
 

@@ -51,6 +51,42 @@ def test_pbc_contraction_exact(n, D, chi):
     assert abs(got - want) < 1e-8 * max(1.0, abs(want))
 
 
+def test_pbc_fast_projectors_exact_and_physical():
+    """The matmul-only 'fast' projector scheme (jittered-Cholesky Gram
+    factors + randomized truncated bond SVD, the TPU production path where
+    qdwh SVD of the [chi^2, chi^2] Grams costs ~95% of the contraction):
+    (a) exact when chi >= bond rank; (b) matches the exact-SVD scheme on a
+    truncating physical contraction; (c) AD holes stay finite."""
+    key = jax.random.PRNGKey(7)
+    tps = random_tps(key, 4, 4, 2, 2, dtype=jnp.float64, bc=PBC, scale=0.5)
+    cfg = jax.random.randint(jax.random.fold_in(key, 1), (4, 4), 0, 2)
+    tn = project(tps, cfg)
+    me, lwe = contract_pbc(tn, 64, TruncParams(64, 1, 0.0))
+    mf, lwf = contract_pbc(tn, 64, TruncParams(64, 1, 0.0, scheme="fast"))
+    ref = float(lwe) + np.log(abs(float(me)))
+    got = float(lwf) + np.log(abs(float(mf)))
+    assert abs(got - ref) < 1e-8 * max(1.0, abs(ref))
+
+    # truncating case on a smooth-spectrum state: D=3, chi=16 < bond 81
+    tps3 = random_tps(jax.random.fold_in(key, 2), 4, 4, 2, 3,
+                      dtype=jnp.float64, bc=PBC, scale=0.5)
+    tn3 = project(tps3, cfg)
+    ms, lws = contract_pbc(tn3, 16, TruncParams(16, 1, 0.0))
+    mF, lwF = contract_pbc(tn3, 16, TruncParams(16, 1, 0.0, scheme="fast",
+                                                rsvd_power=1))
+    rs = float(lws) + np.log(abs(float(ms)))
+    rf = float(lwF) + np.log(abs(float(mF)))
+    assert abs(rf - rs) < 2e-2 * max(1.0, abs(rs))
+
+    def logpsi(t):
+        m, lw = contract_pbc(t, 16, TruncParams(16, 1, 0.0, scheme="fast",
+                                                rsvd_power=1))
+        return lw + jnp.log(jnp.abs(m))
+
+    g = jax.grad(logpsi)(tn3)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
 @pytest.mark.parametrize("name,model", [
     ("heisenberg", spin.heisenberg(1.0)),
     ("tfim", spin.transverse_field_ising(1.0, 3.0)),
@@ -67,7 +103,10 @@ def test_pbc_exact_sum_energy_matches_ed(name, model):
                                     TruncParams(chi, 1, 0.0),
                                     with_grad=False, bc=PBC)
     want = _ed_energy_of_state(tps, model)
-    assert abs(float(res.energy) - want) < 1e-7 * max(1.0, abs(want)), name
+    # 1e-6 (not 1e-7): the TRG projectors factor bond GRAMS (squared
+    # condition number -> half the f64 digits) — the price of never
+    # materializing the merged pair tensor on TPU (pbc._bond_projectors_gram)
+    assert abs(float(res.energy) - want) < 1e-6 * max(1.0, abs(want)), name
 
 
 def test_pbc_exact_sum_gradient_fd():
