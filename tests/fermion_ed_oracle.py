@@ -102,7 +102,14 @@ def _apply_ops(occ, ops):
 
 
 def build_fermion_hamiltonian(model: FermionModel, ly: int, lx: int,
-                              order: str = "row") -> sp.csr_matrix:
+                              order: str = "row",
+                              restrict_configs=None) -> sp.csr_matrix:
+    """restrict_configs: optional iterable of site-state tuples limiting the
+    SOURCE configurations enumerated (full-dim indexing is kept). Valid only
+    when the model conserves the quantity defining the restriction (e.g. a
+    fixed (N_up, N_dn) sector for t-J/Hubbard): matrix columns outside the
+    set are simply absent, so callers must sub-select rows/cols to the same
+    sector before diagonalizing."""
     d = model.phys_dim
     n_sites = ly * lx
     ns = 1 if model.spinless else 2
@@ -132,7 +139,8 @@ def build_fermion_hamiltonian(model: FermionModel, ly: int, lx: int,
              + [((y + 1, x), (y, x + 1), "ad")
                 for y in range(ly - 1) for x in range(lx - 1)])
 
-    configs = list(itertools.product(range(d), repeat=n_sites))
+    configs = (list(itertools.product(range(d), repeat=n_sites))
+               if restrict_configs is None else list(restrict_configs))
     for cfg_t in configs:
         cfg = np.array(cfg_t)
         occ = _config_to_occ(cfg.reshape(ly, lx), model.n_up, model.n_dn,

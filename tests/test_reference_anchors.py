@@ -1,0 +1,139 @@
+"""Pin peps_tpu model conventions to the reference's published ED anchors.
+
+The reference's integration tests assert convergence against hard-coded
+exact-diagonalization energies (BASELINE.md table). These tests assert that
+OUR independently-implemented models + scipy ED oracles reproduce those
+exact constants, pinning every Hamiltonian convention (coupling signs,
+factor-of-2 spin conventions, chemical-potential signs, JW ordering) to the
+reference's published targets.
+
+Anchors (reference file:line):
+- 3x4 Heisenberg OBC  -6.691680193514947   test_square_heisenberg_obc.cpp:38
+- 4x4 Heisenberg PBC  -11.228483208428866  test_square_heisenberg_pbc.cpp:46
+- 3x4 J1-J2 XXZ OBC   -6.523925897312232   test_square_j1j2_xxz_obc.cpp:40
+- 4x4 J1-J2 XXZ PBC   -12.066009559762076  test_square_j1j2_xxz_pbc.cpp:49
+- 4x4 TFIM PBC        -34.01059755084629   test_square_tfim_pbc_trg.cpp:45
+- 4x4 Heisenberg OBC  -9.189207065192962   test_data/ed_reference/square_heisenberg_4x4_obc_ed.json
+- 3x4 t-J (4u,4d,4h)  -8.93157918694544    test_square_tj_model.cpp:36
+- 3x4 spinless free fermion, 4 electrons: closed-form band filling
+                                           test_square_nn_spinless_free_fermion.cpp:38-60
+- 2x2 spinless fermion / t-J energies      tests/tools/exact_2x2_obc_benchmarks.json
+"""
+import itertools
+
+import numpy as np
+import pytest
+import scipy.sparse.linalg as spla
+
+from peps_tpu.models.fermion import spinless_fermion, tj_model
+from peps_tpu.models.spin import (heisenberg, j1j2_xxz,
+                                  transverse_field_ising)
+from tests.ed_oracle import ground_energy
+from tests.fermion_ed_oracle import build_fermion_hamiltonian
+
+# XXZ couplings of the reference J1-J2 integration tests
+# (test_square_j1j2_xxz_obc.cpp:36-39)
+JZ1, JXY1, JZ2, JXY2 = 0.5, 1.0, -0.2, -0.3
+
+
+def _sector_indices(d, n, predicate):
+    return np.array([i for i, cfg in
+                     enumerate(itertools.product(range(d), repeat=n))
+                     if predicate(np.array(cfg))])
+
+
+def test_heisenberg_obc_3x4_anchor():
+    e = ground_energy(heisenberg(1.0), 4, 3)
+    assert abs(e - (-6.691680193514947)) < 1e-10
+
+
+def test_j1j2_xxz_obc_3x4_anchor():
+    e = ground_energy(j1j2_xxz(JZ1, JXY1, JZ2, JXY2), 4, 3)
+    assert abs(e - (-6.523925897312232)) < 1e-10
+
+
+@pytest.mark.slow
+def test_heisenberg_obc_4x4_anchor():
+    """test_data/ed_reference/square_heisenberg_4x4_obc_ed.json:
+    E = -9.189207065192962 (-0.5743254415745601 /site)."""
+    e = ground_energy(heisenberg(1.0), 4, 4)
+    assert abs(e - (-9.189207065192962)) < 1e-9
+
+
+@pytest.mark.slow
+def test_heisenberg_pbc_4x4_anchor():
+    e = ground_energy(heisenberg(1.0), 4, 4, periodic=True)
+    assert abs(e - (-11.228483208428866)) < 1e-9
+
+
+@pytest.mark.slow
+def test_j1j2_xxz_pbc_4x4_anchor():
+    e = ground_energy(j1j2_xxz(JZ1, JXY1, JZ2, JXY2), 4, 4, periodic=True)
+    assert abs(e - (-12.066009559762076)) < 1e-9
+
+
+@pytest.mark.slow
+def test_tfim_pbc_4x4_anchor():
+    e = ground_energy(transverse_field_ising(1.0, 1.0), 4, 4, periodic=True)
+    assert abs(e - (-34.01059755084629)) < 1e-9
+
+
+@pytest.mark.slow
+def test_tj_3x4_anchor():
+    """t=1, J=0.3; ground state in the (N_up, N_dn) = (4, 4) sector of the
+    4x3 lattice (4 holes). The reference's kEDEnergy is the pure t-J
+    energy: its kChemicalPotential = 0.776927653748 onsite term is part of
+    the variational Hamiltonian only (kEDEnergy + mu*N_e reproduces the
+    mu-included ground energy, verified: -15.147000416929 at N_e = 8)."""
+    model = tj_model(t=1.0, j=0.3, mu=0.0)
+    ly, lx = 4, 3
+    sector = [c for c in itertools.product(range(model.phys_dim),
+                                           repeat=ly * lx)
+              if c.count(1) == 4 and c.count(2) == 4]
+    h = build_fermion_hamiltonian(model, ly, lx, restrict_configs=sector)
+    idx = np.array([int(np.ravel_multi_index(c, (model.phys_dim,) * (ly * lx)))
+                    for c in sector])
+    hs = h[idx][:, idx]
+    w = spla.eigsh(hs, k=1, which="SA", return_eigenvectors=False)
+    assert abs(float(w[0]) - (-8.93157918694544)) < 1e-9
+
+
+def test_spinless_fermion_2x2_golden():
+    """exact_2x2_obc_benchmarks.json 'spinless_fermion_obc': t=1, V=0,
+    Nf=2 -> E = -2.0 (filled-band: levels -2, 0, 0, +2)."""
+    model = spinless_fermion(t=1.0, v=0.0)
+    h = build_fermion_hamiltonian(model, 2, 2)
+    idx = _sector_indices(model.phys_dim, 4, lambda a: a.sum() == 2)
+    w = np.linalg.eigvalsh(h[idx][:, idx].toarray())
+    assert abs(float(w[0]) - (-2.0)) < 1e-12
+
+
+def test_tj_2x2_golden():
+    """exact_2x2_obc_benchmarks.json 't-j_obc': t=1, J=0.3, V=0.075,
+    mu=0, (N_up, N_dn) = (1, 1) -> E = -2.943163570613788. Pins the
+    t-J V (density-density) coupling convention."""
+    model = tj_model(t=1.0, j=0.3, mu=0.0, v=0.075)
+    h = build_fermion_hamiltonian(model, 2, 2)
+    idx = _sector_indices(model.phys_dim, 4,
+                          lambda a: (a == 1).sum() == 1 and
+                                    (a == 2).sum() == 1)
+    w = np.linalg.eigvalsh(h[idx][:, idx].toarray())
+    assert abs(float(w[0]) - (-2.943163570613788)) < 1e-12
+
+
+def test_spinless_free_fermion_3x4_anchor():
+    """t=1, V=0, 4 electrons on 3x4 OBC: ED ground energy equals the
+    closed-form filled-band sum of single-particle cosine levels the
+    reference benchmarks against."""
+    ly, lx, ne = 3, 4, 4
+    eps = sorted(-2.0 * np.cos(np.pi * (kx + 1) / (lx + 1))
+                 - 2.0 * np.cos(np.pi * (ky + 1) / (ly + 1))
+                 for kx in range(lx) for ky in range(ly))
+    closed_form = sum(eps[:ne])
+    model = spinless_fermion(t=1.0, v=0.0)
+    h = build_fermion_hamiltonian(model, ly, lx)
+    idx = _sector_indices(model.phys_dim, ly * lx,
+                          lambda a: a.sum() == ne)
+    hs = h[idx][:, idx]
+    w = np.linalg.eigvalsh(hs.toarray())
+    assert abs(float(w[0]) - closed_form) < 1e-10
