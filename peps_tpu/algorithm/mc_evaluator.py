@@ -45,6 +45,11 @@ class MCParams:
     # which the XLA TPU backend cannot compile (docs/tpu_engineering.md
     # "TPU TRG compile pathology"). None = auto: host-driven on TPU.
     host_sweep: bool | None = None
+    # PBC host-sweep only: sequential bond decisions fused per executable
+    # (exchange rule). >1 cuts the dispatch count k-fold but unrolls the
+    # TRG body k times — validate compile time at your lattice size before
+    # raising it (the same pathology that forces the host loop).
+    fuse_bonds: int = 1
 
 
 def _use_host_pbc(params_host_sweep, bc) -> bool:
@@ -83,7 +88,7 @@ def _pbc_eval_batch(tps, configs, model, chi, trunc, with_grad, eval_chunk,
 
 def _mc_collect_host_pbc(tps, configs, key, model, chi, trunc, rule,
                          n_samples, sweeps_between, with_sr,
-                         with_grad=True, eval_chunk=None):
+                         with_grad=True, eval_chunk=None, fuse_bonds=1):
     """Host-driven PBC sample collection: same sweep trajectories and
     return structure as the scanned _mc_collect (PERIODIC branch), with
     the bond loop dispatched per bond from the host."""
@@ -99,7 +104,8 @@ def _mc_collect_host_pbc(tps, configs, key, model, chi, trunc, rule,
             keys = jax.random.split(key, nc + 1)
             key = keys[0]
             configs, _, _, a, t = mc_sweep_pbc_host(
-                tps, configs, keys[1:], chi, trunc, rule)
+                tps, configs, keys[1:], chi, trunc, rule,
+                fuse_bonds=fuse_bonds)
             acc += int(jnp.sum(a))
             tri += int(jnp.sum(t))
         step_out = _pbc_eval_batch(tps, configs, model, chi, trunc,
@@ -266,7 +272,8 @@ def mc_energy_grad(tps, configs, key, model: ModelTensors, chi: int,
         configs, key, acc, tri, outs = _mc_collect_host_pbc(
             tps, configs, key, model, chi, trunc, rule,
             params.num_samples, params.sweeps_between_samples,
-            with_sr_buffers, eval_chunk=params.eval_chunk)
+            with_sr_buffers, eval_chunk=params.eval_chunk,
+            fuse_bonds=params.fuse_bonds)
     else:
         configs, key, acc, tri, outs = _mc_collect(
             tps, configs, key, model, chi, trunc, rule,

@@ -134,6 +134,9 @@ class MeasurementParams:
     # PBC-only: host-driven bond sweep (see MCParams.host_sweep);
     # None = auto (host-driven on TPU)
     host_sweep: bool | None = None
+    # PBC host-sweep only: bond decisions fused per executable (see
+    # MCParams.fuse_bonds)
+    fuse_bonds: int = 1
 
 
 def measure(tps: jnp.ndarray, model, params: MeasurementParams,
@@ -288,7 +291,8 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
                     ks = jax.random.split(k, nc + 1)
                     k = ks[0]
                     cfgs, _, _, a, t = mc_sweep_pbc_host(
-                        tps, cfgs, ks[1:], chi, trunc, rule)
+                        tps, cfgs, ks[1:], chi, trunc, rule,
+                        fuse_bonds=params.fuse_bonds)
                     acc = acc + jnp.sum(a)
                     tri = tri + jnp.sum(t)
                 outs_l.append(jax.tree.map(np.asarray,
@@ -302,7 +306,8 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
             key, ks = jax.random.split(key)
             kc = jax.random.split(ks, nc + 1)
             configs, _, _, _, _ = mc_sweep_pbc_host(
-                tps, configs, kc[1:], chi, trunc, rule)
+                tps, configs, kc[1:], chi, trunc, rule,
+                fuse_bonds=params.fuse_bonds)
     else:
         for _ in range(params.num_warmup_sweeps):
             key, ks = jax.random.split(key)

@@ -110,7 +110,8 @@ def vmc_optimize(tps: jnp.ndarray, model, params: VMCParams,
                 ks = jax.random.split(k_s, configs.shape[0])
                 configs, _, la0s, _, _ = mc_sweep_pbc_host(
                     tps, configs, ks, params.chi, params.trunc,
-                    params.rule, la0s=la0s)
+                    params.rule, la0s=la0s,
+                    fuse_bonds=params.mc.fuse_bonds)
         else:
             from peps_tpu.montecarlo.sweep_pbc import mc_sweep_pbc
             warm = jax.jit(lambda t, cfgs, k: jax.vmap(

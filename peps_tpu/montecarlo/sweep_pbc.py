@@ -149,31 +149,67 @@ def _pbc_log_abs_batch(tps, configs, chi, trunc):
                        batch_size=_pbc_map_batch(tps.shape[0], tps.shape[1]))
 
 
+def _exchange_decision(tps, config, la0, key, bond, chi, trunc, rdt):
+    """One exchange-Metropolis decision for one chain. Returns
+    (config', la0', key', accept, differ); key' is the carried key after
+    the per-decision split (one split per bond, matching mc_sweep_pbc)."""
+    key, k_pick = jax.random.split(key)
+    c1 = config[bond[0], bond[1]]
+    c2 = config[bond[2], bond[3]]
+    cand = config.at[bond[0], bond[1]].set(c2) \
+                 .at[bond[2], bond[3]].set(c1)
+    mant, logw = contract_pbc(project(tps, cand), chi, trunc)
+    la1 = jnp.log(jnp.maximum(jnp.abs(mant),
+                              jnp.finfo(rdt).tiny)) + logw
+    ratio2 = jnp.exp(2.0 * (la1 - la0))
+    u = jax.random.uniform(k_pick, (), rdt)
+    differ = c1 != c2
+    accept = differ & (u < ratio2)
+    return (jnp.where(accept, cand, config),
+            jnp.where(accept, la1, la0), key,
+            accept.astype(jnp.int32), differ.astype(jnp.int32))
+
+
 @_partial(jax.jit, static_argnames=("chi", "trunc"))
 def _pbc_exchange_bond_step(tps, configs, la0s, keys, bond, chi, trunc):
     """One exchange-Metropolis decision at `bond` for all chains."""
     rdt = tps.real.dtype if jnp.iscomplexobj(tps) else tps.dtype
 
     def one(config, la0, key):
-        key, k_pick = jax.random.split(key)
-        c1 = config[bond[0], bond[1]]
-        c2 = config[bond[2], bond[3]]
-        cand = config.at[bond[0], bond[1]].set(c2) \
-                     .at[bond[2], bond[3]].set(c1)
-        mant, logw = contract_pbc(project(tps, cand), chi, trunc)
-        la1 = jnp.log(jnp.maximum(jnp.abs(mant),
-                                  jnp.finfo(rdt).tiny)) + logw
-        ratio2 = jnp.exp(2.0 * (la1 - la0))
-        u = jax.random.uniform(k_pick, (), rdt)
-        differ = c1 != c2
-        accept = differ & (u < ratio2)
-        return (jnp.where(accept, cand, config),
-                jnp.where(accept, la1, la0), key,
-                accept.astype(jnp.int32), differ.astype(jnp.int32))
+        return _exchange_decision(tps, config, la0, key, bond, chi, trunc,
+                                  rdt)
 
     outs = jax.lax.map(lambda args: one(*args), (configs, la0s, keys),
                        batch_size=_pbc_map_batch(tps.shape[0], tps.shape[1]))
     return outs
+
+
+@_partial(jax.jit, static_argnames=("chi", "trunc", "k"))
+def _pbc_exchange_bond_chunk(tps, configs, la0s, keys, bonds, chi, trunc,
+                             k):
+    """k sequential exchange decisions (bonds[0..k-1]) in ONE executable.
+
+    Cuts the host-driven sweep's dispatch count k-fold (NOTES limitation:
+    PBC on TPU is dispatch-bound). The TRG body is UNROLLED k times, so k
+    must stay small enough for the XLA:TPU compile pathology
+    (docs/tpu_engineering.md) not to bite — callers opt in via
+    MCParams/MeasurementParams.fuse_bonds and should validate compile time
+    at their lattice size. Bit-identical to k calls of
+    _pbc_exchange_bond_step (same per-chain key stream)."""
+    rdt = tps.real.dtype if jnp.iscomplexobj(tps) else tps.dtype
+
+    def one(config, la0, key):
+        acc = jnp.zeros((), jnp.int32)
+        tri = jnp.zeros((), jnp.int32)
+        for i in range(k):      # static unroll
+            config, la0, key, a, t = _exchange_decision(
+                tps, config, la0, key, bonds[i], chi, trunc, rdt)
+            acc = acc + a
+            tri = tri + t
+        return config, la0, key, acc, tri
+
+    return jax.lax.map(lambda args: one(*args), (configs, la0s, keys),
+                       batch_size=_pbc_map_batch(tps.shape[0], tps.shape[1]))
 
 
 @_partial(jax.jit, static_argnames=("chi", "trunc", "d", "mode"))
@@ -214,13 +250,15 @@ def _pbc_table_bond_step(tps, configs, keys, bond, chi, trunc, d, mode):
 
 
 def mc_sweep_pbc_host(tps, configs, keys, chi: int, trunc: TruncParams,
-                      rule: UpdateRule, la0s=None):
+                      rule: UpdateRule, la0s=None, fuse_bonds: int = 1):
     """One full PBC sweep for ALL chains, host loop over bonds.
 
     configs: [C, Ly, Lx]; keys: [C] per-chain PRNG keys. Returns
     (configs', keys', la0s' or None, acc [C], tri [C]). Matches
     mc_sweep_pbc's per-chain trajectories exactly when each chain's key
-    equals the scanned version's input key."""
+    equals the scanned version's input key. fuse_bonds > 1 dispatches that
+    many sequential bond decisions per executable (exchange rule only;
+    same trajectories, k-fold fewer dispatches)."""
     ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
     bonds = _all_nn_bonds(ly, lx)
     nc = configs.shape[0]
@@ -229,6 +267,16 @@ def mc_sweep_pbc_host(tps, configs, keys, chi: int, trunc: TruncParams,
     if rule.mode == "exchange":
         if la0s is None:
             la0s = _pbc_log_abs_batch(tps, configs, chi, trunc)
+        k = max(1, int(fuse_bonds))
+        if k > 1:
+            for i0 in range(0, len(bonds), k):
+                chunk = bonds[i0:i0 + k]
+                configs, la0s, keys, a, t = _pbc_exchange_bond_chunk(
+                    tps, configs, la0s, keys, jnp.asarray(chunk), chi,
+                    trunc, len(chunk))
+                acc = acc + a
+                tri = tri + t
+            return configs, keys, la0s, acc, tri
         for b in bonds:
             configs, la0s, keys, a, t = _pbc_exchange_bond_step(
                 tps, configs, la0s, keys, jnp.asarray(b), chi, trunc)

@@ -268,6 +268,40 @@ def test_pbc_host_sweep_matches_scanned():
                                       err_msg=mode)
 
 
+def test_pbc_host_sweep_fused_bonds_match():
+    """fuse_bonds > 1 (k sequential bond decisions per executable) follows
+    EXACTLY the same trajectories as the per-bond dispatch, including a
+    ragged final chunk (2N = 32 bonds, k = 5 -> chunks 5x6 + 2)."""
+    from peps_tpu.montecarlo.sweep import UpdateRule
+    from peps_tpu.montecarlo.sweep_pbc import mc_sweep_pbc_host
+    from peps_tpu.tps import random_tps
+
+    ly = lx = 4
+    D, chi = 2, 8
+    tp = TruncParams(chi, 1, 1e-10)
+    tps = random_tps(jax.random.PRNGKey(3), ly, lx, 2, D, jnp.float32)
+    tps = tps / jnp.max(jnp.abs(tps))
+    cfg0 = jnp.asarray((np.indices((ly, lx)).sum(0) % 2).astype(np.int32))
+    cfgs = jnp.stack([cfg0, 1 - cfg0])
+    keys = jax.random.split(jax.random.PRNGKey(7), 2)
+    rule = UpdateRule("exchange")
+
+    ref_cfgs, _, ref_la0s, ref_acc, ref_tri = mc_sweep_pbc_host(
+        tps, cfgs, keys, chi, tp, rule)
+    for k in (3, 5, 8):
+        got_cfgs, _, got_la0s, acc, tri = mc_sweep_pbc_host(
+            tps, cfgs, keys, chi, tp, rule, fuse_bonds=k)
+        np.testing.assert_array_equal(np.asarray(got_cfgs),
+                                      np.asarray(ref_cfgs), err_msg=str(k))
+        np.testing.assert_array_equal(np.asarray(acc), np.asarray(ref_acc),
+                                      err_msg=str(k))
+        np.testing.assert_array_equal(np.asarray(tri), np.asarray(ref_tri),
+                                      err_msg=str(k))
+        np.testing.assert_allclose(np.asarray(got_la0s),
+                                   np.asarray(ref_la0s), rtol=0, atol=0,
+                                   err_msg=str(k))
+
+
 def test_pbc_host_collect_matches_scanned():
     """mc_energy_grad and measure() on the host-driven PBC path equal the
     jitted scanned path (same key streams -> identical trajectories and
