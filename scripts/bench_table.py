@@ -68,11 +68,18 @@ def measure_row(label, ly, lx, D, chi, bc, quick):
         keys = jax.random.split(keys0, NCH)
         la0s = None
 
+        # fuse_bonds > 1 batches sequential bond decisions into one
+        # executable (k-fold fewer dispatches; bit-identical trajectories).
+        # Keep k small enough that the unrolled TRG body stays clear of
+        # the XLA:TPU compile pathology (validate at your lattice size).
+        fuse = int(os.environ.get("PBC_FUSE_BONDS", "8"))
+
         def run_k(configs, keys, la0s, k):
             acc = 0.0
             for _ in range(k):
                 configs, keys, la0s, a, _ = mc_sweep_pbc_host(
-                    tps, configs, keys, chi, trunc, rule, la0s)
+                    tps, configs, keys, chi, trunc, rule, la0s,
+                    fuse_bonds=fuse)
                 acc = acc + jnp.sum(a)
             return configs, keys, la0s, acc
 
