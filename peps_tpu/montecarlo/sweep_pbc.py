@@ -212,6 +212,34 @@ def _pbc_exchange_bond_chunk(tps, configs, la0s, keys, bonds, chi, trunc,
                        batch_size=_pbc_map_batch(tps.shape[0], tps.shape[1]))
 
 
+def _table_decision(tps, config, key, bond, chi, trunc, d, cmask, pq):
+    """One full-space (Suwa-Todo) decision for one chain at `bond`."""
+    key, k_pick = jax.random.split(key)
+    tn = project(tps, config)
+
+    def amp(s):
+        t = tn.at[bond[0], bond[1]].set(tps[bond[0], bond[1], s[0]])
+        t = t.at[bond[2], bond[3]].set(tps[bond[2], bond[3], s[1]])
+        return contract_pbc(t, chi, trunc)
+
+    mants, logws = jax.vmap(amp)(pq)
+    lmax = jnp.max(logws)
+    table = (mants * jnp.exp(logws - lmax)).reshape(d, d)
+    c1 = config[bond[0], bond[1]]
+    c2 = config[bond[2], bond[3]]
+    cur_idx = (c1 * d + c2).astype(jnp.int32)
+    w = jnp.abs(table.reshape(-1)) ** 2
+    if cmask is not None:
+        w = w * cmask[cur_idx].astype(w.dtype)
+    new_idx = suwa_todo_pick(w, cur_idx, k_pick)
+    new1 = (new_idx // d).astype(config.dtype)
+    new2 = (new_idx % d).astype(config.dtype)
+    config = config.at[bond[0], bond[1]].set(new1)
+    config = config.at[bond[2], bond[3]].set(new2)
+    return (config, key, (new_idx != cur_idx).astype(jnp.int32),
+            jnp.ones((), jnp.int32))
+
+
 @_partial(jax.jit, static_argnames=("chi", "trunc", "d", "mode"))
 def _pbc_table_bond_step(tps, configs, keys, bond, chi, trunc, d, mode):
     """One full-space (Suwa-Todo) decision at `bond` for all chains."""
@@ -220,30 +248,35 @@ def _pbc_table_bond_step(tps, configs, keys, bond, chi, trunc, d, mode):
     pq = jnp.stack([pp.reshape(-1), qq.reshape(-1)], axis=1)
 
     def one(config, key):
-        key, k_pick = jax.random.split(key)
-        tn = project(tps, config)
+        return _table_decision(tps, config, key, bond, chi, trunc, d,
+                               cmask, pq)
 
-        def amp(s):
-            t = tn.at[bond[0], bond[1]].set(tps[bond[0], bond[1], s[0]])
-            t = t.at[bond[2], bond[3]].set(tps[bond[2], bond[3], s[1]])
-            return contract_pbc(t, chi, trunc)
+    return jax.lax.map(lambda args: one(*args), (configs, keys),
+                       batch_size=1)
 
-        mants, logws = jax.vmap(amp)(pq)
-        lmax = jnp.max(logws)
-        table = (mants * jnp.exp(logws - lmax)).reshape(d, d)
-        c1 = config[bond[0], bond[1]]
-        c2 = config[bond[2], bond[3]]
-        cur_idx = (c1 * d + c2).astype(jnp.int32)
-        w = jnp.abs(table.reshape(-1)) ** 2
-        if cmask is not None:
-            w = w * cmask[cur_idx].astype(w.dtype)
-        new_idx = suwa_todo_pick(w, cur_idx, k_pick)
-        new1 = (new_idx // d).astype(config.dtype)
-        new2 = (new_idx % d).astype(config.dtype)
-        config = config.at[bond[0], bond[1]].set(new1)
-        config = config.at[bond[2], bond[3]].set(new2)
-        return (config, key, (new_idx != cur_idx).astype(jnp.int32),
-                jnp.ones((), jnp.int32))
+
+@_partial(jax.jit, static_argnames=("chi", "trunc", "d", "mode", "k"))
+def _pbc_table_bond_chunk(tps, configs, keys, bonds, chi, trunc, d, mode,
+                          k):
+    """k sequential Suwa-Todo decisions (bonds[0..k-1]) in ONE executable.
+
+    Full-space analogue of _pbc_exchange_bond_chunk: cuts dispatches
+    k-fold, unrolls the d^2-candidate TRG table k times (keep k small —
+    the table step is d^2 heavier per bond than the exchange step).
+    Bit-identical to k calls of _pbc_table_bond_step."""
+    cmask = UpdateRule(mode).mask_array(d) if mode != "full" else None
+    pp, qq = jnp.meshgrid(jnp.arange(d), jnp.arange(d), indexing="ij")
+    pq = jnp.stack([pp.reshape(-1), qq.reshape(-1)], axis=1)
+
+    def one(config, key):
+        acc = jnp.zeros((), jnp.int32)
+        tri = jnp.zeros((), jnp.int32)
+        for i in range(k):      # static unroll
+            config, key, a, t = _table_decision(
+                tps, config, key, bonds[i], chi, trunc, d, cmask, pq)
+            acc = acc + a
+            tri = tri + t
+        return config, key, acc, tri
 
     return jax.lax.map(lambda args: one(*args), (configs, keys),
                        batch_size=1)
@@ -257,8 +290,8 @@ def mc_sweep_pbc_host(tps, configs, keys, chi: int, trunc: TruncParams,
     (configs', keys', la0s' or None, acc [C], tri [C]). Matches
     mc_sweep_pbc's per-chain trajectories exactly when each chain's key
     equals the scanned version's input key. fuse_bonds > 1 dispatches that
-    many sequential bond decisions per executable (exchange rule only;
-    same trajectories, k-fold fewer dispatches)."""
+    many sequential bond decisions per executable (exchange and full-space
+    rules; same trajectories, k-fold fewer dispatches)."""
     ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
     bonds = _all_nn_bonds(ly, lx)
     nc = configs.shape[0]
@@ -283,6 +316,16 @@ def mc_sweep_pbc_host(tps, configs, keys, chi: int, trunc: TruncParams,
             acc = acc + a
             tri = tri + t
         return configs, keys, la0s, acc, tri
+    k = max(1, int(fuse_bonds))
+    if k > 1:
+        for i0 in range(0, len(bonds), k):
+            chunk = bonds[i0:i0 + k]
+            configs, keys, a, t = _pbc_table_bond_chunk(
+                tps, configs, keys, jnp.asarray(chunk), chi, trunc, d,
+                rule.mode, len(chunk))
+            acc = acc + a
+            tri = tri + t
+        return configs, keys, None, acc, tri
     for b in bonds:
         configs, keys, a, t = _pbc_table_bond_step(
             tps, configs, keys, jnp.asarray(b), chi, trunc, d, rule.mode)

@@ -301,6 +301,17 @@ def test_pbc_host_sweep_fused_bonds_match():
                                    np.asarray(ref_la0s), rtol=0, atol=0,
                                    err_msg=str(k))
 
+    # full-space (Suwa-Todo) rule: same fused-vs-per-bond identity
+    rule_fs = UpdateRule("suwa_todo")
+    ref = mc_sweep_pbc_host(tps, cfgs, keys, chi, tp, rule_fs)
+    for k in (3, 8):
+        got = mc_sweep_pbc_host(tps, cfgs, keys, chi, tp, rule_fs,
+                                fuse_bonds=k)
+        np.testing.assert_array_equal(np.asarray(got[0]),
+                                      np.asarray(ref[0]), err_msg=str(k))
+        np.testing.assert_array_equal(np.asarray(got[3]),
+                                      np.asarray(ref[3]), err_msg=str(k))
+
 
 def test_pbc_host_collect_matches_scanned():
     """mc_energy_grad and measure() on the host-driven PBC path equal the
