@@ -21,10 +21,14 @@ def _build_and_load():
     if _TRIED:
         return _LIB
     _TRIED = True
-    src = os.path.join(os.path.dirname(__file__), "..", "..", "csrc",
-                       "peps_native.cpp")
-    src = os.path.abspath(src)
-    if not os.path.exists(src):
+    # the native source ships inside the package (peps_tpu/csrc/) so
+    # installed wheels carry it; fall back to the old repo-root layout
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    candidates = [os.path.join(pkg, "csrc", "peps_native.cpp"),
+                  os.path.join(pkg, "..", "csrc", "peps_native.cpp")]
+    src = next((os.path.abspath(c) for c in candidates
+                if os.path.exists(c)), None)
+    if src is None:
         return None
     # per-user cache with owner-only permissions: a world-writable shared
     # temp dir would let another local user pre-plant a library that CDLL
