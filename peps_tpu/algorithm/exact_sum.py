@@ -71,6 +71,24 @@ def sector_configs(ly: int, lx: int, occupancy: dict[int, int]) -> np.ndarray:
     return np.array(perms, dtype=np.int32).reshape(-1, ly, lx)
 
 
+def pad_configs(configs: np.ndarray,
+                n_shards: int) -> tuple[np.ndarray, np.ndarray]:
+    """Pad the config batch to a multiple of `n_shards` so it shards evenly
+    over a device mesh; returns (padded_configs, valid_mask). Padding rows
+    repeat configs[0] and carry mask=False, which the evaluators turn into
+    exactly zero weight — the TPU analogue of the reference's uneven
+    rank round-robin (exact_summation_energy_evaluator.h:173: ranks with
+    fewer configs simply contribute fewer terms)."""
+    nc = configs.shape[0]
+    pad = (-nc) % n_shards
+    mask = np.ones(nc + pad, dtype=bool)
+    if pad:
+        mask[nc:] = False
+        configs = np.concatenate(
+            [configs, np.repeat(configs[:1], pad, axis=0)], axis=0)
+    return configs, mask
+
+
 class ExactSumResult(NamedTuple):
     energy: jnp.ndarray      # real scalar
     gradient: jnp.ndarray | None  # same shape as tps
@@ -84,12 +102,18 @@ def exact_sum_energy_gradient(tps: jnp.ndarray, configs: jnp.ndarray,
                               trunc: TruncParams,
                               with_grad: bool = True,
                               batch_size: int | None = None,
-                              bc: BoundaryCondition = BoundaryCondition.OPEN) -> ExactSumResult:
+                              bc: BoundaryCondition = BoundaryCondition.OPEN,
+                              mask: jnp.ndarray | None = None) -> ExactSumResult:
     """Exact <H> and gradient over an enumerated configuration set.
 
     Gradient convention: for complex parameters returns dE/d(theta*)
     (Wirtinger); for real parameters returns the true gradient dE/d(theta)
     = 2 Re <(E_loc - E) O*>.
+
+    `mask` (bool [Nc]) zero-weights padding configurations appended by
+    `pad_configs` so the batch can be sharded evenly over a device mesh
+    (the reference's rank round-robin split,
+    exact_summation_energy_evaluator.h:173).
     """
     from peps_tpu.fermion.vmc import (GradedFermionModel,
                                       local_energy_and_holes_graded)
@@ -113,6 +137,8 @@ def exact_sum_energy_gradient(tps: jnp.ndarray, configs: jnp.ndarray,
     logw = 2.0 * log_abs
     logw_max = jnp.max(logw)
     w = jnp.where(res.psi_mant == 0, 0.0, jnp.exp(logw - logw_max))
+    if mask is not None:
+        w = jnp.where(mask, w, 0.0)
     z = jnp.sum(w)
     e_loc = res.e_loc
     energy = jnp.sum(w * jnp.real(e_loc)) / z
@@ -135,10 +161,16 @@ def exact_sum_evaluation(tps: jnp.ndarray, configs: jnp.ndarray,
                          model: ModelTensors, chi: int, trunc: TruncParams,
                          with_sr_buffers: bool = False,
                          batch_size: int | None = None,
-                         bc: BoundaryCondition = BoundaryCondition.OPEN):
+                         bc: BoundaryCondition = BoundaryCondition.OPEN,
+                         mask: jnp.ndarray | None = None):
     """Full Evaluation (for the optimizer): energy, gradient, and optionally
     the centered sqrt-weighted O-sample matrix A and residuals eps such that
       S = A^H A,   gradient = A^H eps   (x2 for real dtype).
+
+    `mask` zero-weights `pad_configs` padding rows (see
+    exact_sum_energy_gradient); with the config batch sharded over a mesh
+    this is the reference's MPI-parallel exact-sum evaluator
+    (exact_summation_energy_evaluator.h:173, round-robin rank split).
     """
     from peps_tpu.optimizer.optimizer import Evaluation
     from peps_tpu.fermion.vmc import (GradedFermionModel,
@@ -161,6 +193,8 @@ def exact_sum_evaluation(tps: jnp.ndarray, configs: jnp.ndarray,
     logw = 2.0 * res.log_abs_psi
     logw_max = jnp.max(logw)
     w = jnp.where(res.psi_mant == 0, 0.0, jnp.exp(logw - logw_max))
+    if mask is not None:
+        w = jnp.where(mask, w, 0.0)
     z = jnp.sum(w)
     wn = w / z
     energy = jnp.sum(wn * jnp.real(res.e_loc))

@@ -8,7 +8,7 @@ from peps_tpu.algorithm.mc_evaluator import MCParams
 from peps_tpu.algorithm.vmc_optimize import VMCParams, VMCResult, vmc_optimize
 from peps_tpu.algorithm.exact_sum import (all_configs, exact_sum_evaluation,
                                           exact_sum_energy_gradient,
-                                          sector_configs)
+                                          pad_configs, sector_configs)
 from peps_tpu.lattice import BoundaryCondition
 from peps_tpu.linalg import TruncParams
 from peps_tpu.montecarlo.engine import (init_configs_occupancy,

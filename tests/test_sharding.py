@@ -205,3 +205,72 @@ def test_sharded_measurement_collection_matches_single_device(mesh):
         np.testing.assert_allclose(np.asarray(sh.stats[k][0]),
                                    np.asarray(ref.stats[k][0]),
                                    rtol=1e-4, atol=5e-6, err_msg=k)
+
+
+def test_sharded_exact_sum_matches_single_device(mesh):
+    """Exact-summation evaluation with the enumerated config batch sharded
+    over the mesh (the reference's MPI round-robin split,
+    exact_summation_energy_evaluator.h:173). 2x3 Sz=0 sector has 20
+    configs -> pads to 24, exercising the zero-weight padding mask."""
+    from peps_tpu.algorithm.exact_sum import (exact_sum_evaluation,
+                                              pad_configs, sector_configs)
+
+    ly, lx, D, chi = 2, 3, 2, 8
+    tps = random_tps(jax.random.PRNGKey(7), ly, lx, 2, D,
+                     dtype=jnp.float64, scale=0.6)
+    model = spin.heisenberg(1.0)
+    mt = ModelTensors.from_model(model, jnp.float64)
+    trunc = TruncParams(chi, 1, 0.0)
+    configs = sector_configs(ly, lx, {0: 3, 1: 3})
+    assert configs.shape[0] == 20
+
+    ref = exact_sum_evaluation(tps, jnp.asarray(configs), mt, chi, trunc,
+                               with_sr_buffers=True)
+
+    padded, mask = pad_configs(configs, NDEV)
+    assert padded.shape[0] == 24 and mask.sum() == 20
+    cshard = NamedSharding(mesh, P("chains", None, None))
+    sh = exact_sum_evaluation(
+        replicate(mesh, tps),
+        jax.device_put(jnp.asarray(padded), cshard), mt, chi, trunc,
+        with_sr_buffers=True,
+        mask=jax.device_put(jnp.asarray(mask),
+                            NamedSharding(mesh, P("chains"))))
+
+    np.testing.assert_allclose(float(sh.energy), float(ref.energy),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(sh.gradient),
+                               np.asarray(ref.gradient),
+                               rtol=1e-10, atol=1e-12)
+    # padded SR rows are exactly zero => identical S = A^H A
+    s_ref = np.asarray(ref.o_samples.conj().T @ ref.o_samples)
+    s_sh = np.asarray(sh.o_samples.conj().T @ sh.o_samples)
+    np.testing.assert_allclose(s_sh, s_ref, rtol=1e-10, atol=1e-13)
+
+
+def test_sharded_exact_sum_pbc_matches_single_device(mesh):
+    """The PBC (TRG-contracted) exact sum under config sharding: covers the
+    periodic contraction path in the multi-chip program structure."""
+    from peps_tpu.algorithm.exact_sum import (all_configs,
+                                              exact_sum_energy_gradient)
+    from peps_tpu.lattice import BoundaryCondition
+
+    n, D, chi = 2, 2, 8
+    tps = random_tps(jax.random.PRNGKey(9), n, n, 2, D, dtype=jnp.float64,
+                     bc=BoundaryCondition.PERIODIC, scale=0.7)
+    mt = ModelTensors.from_model(spin.heisenberg(1.0), jnp.float64)
+    trunc = TruncParams(chi, 1, 0.0)
+    configs = jnp.asarray(all_configs(n, n, 2))  # 16 -> 2 per device
+
+    ref = exact_sum_energy_gradient(tps, configs, mt, chi, trunc,
+                                    bc=BoundaryCondition.PERIODIC)
+    cshard = NamedSharding(mesh, P("chains", None, None))
+    sh = exact_sum_energy_gradient(replicate(mesh, tps),
+                                   jax.device_put(configs, cshard), mt,
+                                   chi, trunc,
+                                   bc=BoundaryCondition.PERIODIC)
+    np.testing.assert_allclose(float(sh.energy), float(ref.energy),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(sh.gradient),
+                               np.asarray(ref.gradient),
+                               rtol=1e-9, atol=1e-12)
