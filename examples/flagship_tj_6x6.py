@@ -56,7 +56,7 @@ def main(quick=False, resume=False):
     model = tj_model(t, j_ex)
     nchains = 32
 
-    # 2-hole doping: holes at (2,2) and (3,3); Neel-ish spin background
+    # 2-hole doping: holes at (2,2) and (3,2); Neel-ish spin background
     occ0 = (np.indices((ly, lx)).sum(0) % 2 + 1).astype(int)  # 1/2 checker
     occ0[2, 2] = 0   # removes an up spin
     occ0[3, 2] = 0   # removes a down spin -> Sz = 0 at 2 holes

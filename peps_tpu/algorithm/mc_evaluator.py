@@ -60,6 +60,26 @@ def _use_host_pbc(params_host_sweep, bc) -> bool:
     return params_host_sweep
 
 
+def require_bosonic_for_pbc(model, bc) -> None:
+    """Reference parity: periodic boundaries contract via TRG and the TRG
+    contractor is boson-only (trg_contractor.h 'no fermions';
+    monte_carlo_engine.h:516-557 validates the BC<->backend pairing and
+    aborts on fermionic TRG). Reject fermionic models with bc=PERIODIC
+    loudly instead of silently sampling from the wrong distribution."""
+    if bc != BoundaryCondition.PERIODIC:
+        return
+    from peps_tpu.algorithm.energy_fermion import FermionTensors
+    from peps_tpu.fermion.vmc import GradedFermionModel
+    from peps_tpu.models.fermion import FermionModel
+    if isinstance(model, (FermionTensors, GradedFermionModel,
+                          FermionModel)):
+        raise ValueError(
+            "periodic boundaries use the TRG contractor, which is "
+            "boson-only (reference: trg_contractor.h, "
+            "monte_carlo_engine.h:516-557); fermionic models require "
+            "BoundaryCondition.OPEN")
+
+
 @partial(jax.jit, static_argnames=("chi", "trunc", "with_grad",
                                    "eval_chunk", "with_sr"))
 def _pbc_eval_batch(tps, configs, model, chi, trunc, with_grad, eval_chunk,
@@ -245,6 +265,7 @@ def mc_energy_only(tps, configs, key, model: ModelTensors, chi: int,
     """Energy-only MC estimate — holes/gradients skipped (reference:
     EvaluateEnergyOnly, mc_energy_grad_evaluator.h:343). Used by the step
     selector and the energy-only L-BFGS line-search probes."""
+    require_bosonic_for_pbc(model, bc)
     if _use_host_pbc(None, bc):
         _, _, _, _, outs = _mc_collect_host_pbc(
             tps, configs, key, model, chi, trunc, rule,
@@ -268,6 +289,7 @@ def mc_energy_grad(tps, configs, key, model: ModelTensors, chi: int,
     Gradient (uniform |psi|^2 sampling): g = <conj(O)(E_loc - E)> over all
     samples x chains; x2 real part for real dtype (matches the exact-sum
     evaluator's convention so optimizers are interchangeable)."""
+    require_bosonic_for_pbc(model, bc)
     if _use_host_pbc(params.host_sweep, bc):
         configs, key, acc, tri, outs = _mc_collect_host_pbc(
             tps, configs, key, model, chi, trunc, rule,

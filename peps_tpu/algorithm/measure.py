@@ -157,6 +157,9 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
 
     ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
     periodic = bc == BoundaryCondition.PERIODIC
+    if periodic:
+        from peps_tpu.algorithm.mc_evaluator import require_bosonic_for_pbc
+        require_bosonic_for_pbc(model, BoundaryCondition.PERIODIC)
     if isinstance(model, (ModelTensors, FermionTensors,
                           GradedFermionModel)):
         mt = model

@@ -557,6 +557,13 @@ def tj_singlet_pair_corr_graded_rowshared(tps, config, space, chi: int,
             e = bmps._col_transfer_left(e, top[i + 1],
                                         cand_row[i + 1][empty, fb],
                                         bot[i + 1])
+            # reference amplitude at the start bond — invariant under the
+            # scan over end bonds k, so computed once per i
+            cpair = bmps._col_transfer_left(envs.lefts[i], top[i],
+                                            row[i], bot[i])
+            cpair = bmps._col_transfer_left(cpair, top[i + 1],
+                                            row[i + 1], bot[i + 1])
+            psi_ref = jnp.einsum("alc,alc->", cpair, envs.rights[i + 2])
 
             def scan_k(carry, k):
                 e = carry
@@ -572,12 +579,6 @@ def tj_singlet_pair_corr_graded_rowshared(tps, config, space, chi: int,
                                          - envs.log_rights[i + 2])
                 amp_ud = close(1, 2)
                 amp_du = close(2, 1)
-
-                cpair = bmps._col_transfer_left(envs.lefts[i], top[i],
-                                                row[i], bot[i])
-                cpair = bmps._col_transfer_left(cpair, top[i + 1],
-                                                row[i + 1], bot[i + 1])
-                psi_ref = jnp.einsum("alc,alc->", cpair, envs.rights[i + 2])
 
                 p_i, p_j = pos[r, i], pos[r, i + 1]
                 p_k, p_l = pos[r, k], pos[r, k + 1]

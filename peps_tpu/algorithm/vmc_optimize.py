@@ -73,6 +73,8 @@ def vmc_optimize(tps: jnp.ndarray, model, params: VMCParams,
     else:
         mt = ModelTensors.from_model(model, tps.dtype)
     graded = isinstance(mt, GradedFermionModel)
+    from peps_tpu.algorithm.mc_evaluator import require_bosonic_for_pbc
+    require_bosonic_for_pbc(mt, params.bc)
 
     key, k_init, k_rescue = jax.random.split(key, 3)
     if params.occupancy is not None:

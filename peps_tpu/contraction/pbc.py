@@ -90,9 +90,13 @@ def _bond_projectors_gram(g_top, g_bot, chi: int, trunc: TruncParams,
                                 inv_relative_eps)
 
 
-_PBC_SKETCH_KEY = jax.random.PRNGKey(20260817)  # fixed: every config/bond
-# shares the same test matrix, so amplitude ratios across calls are formed
-# through one consistent truncated map (same rule as bmps.compress_sketch)
+def _pbc_sketch_key():
+    # fixed key: every config/bond shares the same test matrix, so amplitude
+    # ratios across calls are formed through one consistent truncated map
+    # (same rule as bmps.compress_sketch). Built lazily — a module-level
+    # PRNGKey would force device-backend init at import time (hangs when
+    # the TPU tunnel is down even for CPU-only use).
+    return jax.random.PRNGKey(20260817)
 
 
 def _eps_rel_for(dtype):
@@ -134,7 +138,7 @@ def _rand_svd(c, k: int, power_iters: int, eps_rel):
     SVD. Exact when rank(c) <= k; power iterations sharpen the captured
     subspace when the spectrum truncates. Returns (u [B,k], s [k], vh [k,B])."""
     b = c.shape[0]
-    omega = jax.random.normal(_PBC_SKETCH_KEY, (b, k),
+    omega = jax.random.normal(_pbc_sketch_key(), (b, k),
                               c.real.dtype).astype(c.dtype)
     q = _orth(c @ omega, eps_rel)
     for _ in range(power_iters):

@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from peps_tpu.algorithm.energy import _fuse_pair_columns, _pair_row_envs
+from peps_tpu.algorithm.energy import _pair_row_envs
 from peps_tpu.contraction import bmps
 from peps_tpu.fermion.convert import fermion_project
 from peps_tpu.fermion.peps import FermionSpace

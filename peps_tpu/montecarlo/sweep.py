@@ -73,18 +73,7 @@ def _right_btens(top, bot, row, dtype):
     return jnp.concatenate([rs, init[None]], axis=0)
 
 
-def _pair_table(lenv, renv, t1, t2, b1, b2, cands1, cands2):
-    """Amplitude table [K1, K2] for a horizontal pair with shared envs."""
-    h1 = jnp.einsum("alc,auA->luAc", lenv, t1)
-    h1 = jnp.einsum("luAc,kuldr->kdArc", h1, cands1)
-    h1 = jnp.einsum("kdArc,cdC->kArC", h1, b1)
-    h2 = jnp.einsum("ArC,auA->urCa", renv, t2)
-    h2 = jnp.einsum("urCa,juldr->jdCla", h2, cands2)
-    h2 = jnp.einsum("jdCla,cdC->jalc", h2, b2)
-    return jnp.einsum("kABC,jABC->kj", h1, h2)
-
-
-def _right_blocks(rights, top, bot, cands, lx):
+def _right_blocks(rights, top, bot, cands):
     """Right candidate blocks of every bond in a row, batched:
     rblk[x, j, a, l, c] = renv[x+2] * top[x+1] * cands[x+1, j] * bot[x+1].
     Precomputing these halves the sequential per-bond op count — the bond
@@ -184,7 +173,7 @@ def _sweep_rows(tps, config, key, chi, trunc: TruncParams, rule: UpdateRule,
         key, k_row = jax.random.split(key)
         init = (l0, cfg_row[0], field, k_row, jnp.zeros((), jnp.int32),
                 jnp.zeros((), jnp.int32))
-        rblks = _right_blocks(rights, top, bot, tps_row, lx)
+        rblks = _right_blocks(rights, top, bot, tps_row)
         xs_in = (top[:lx - 1], bot[:lx - 1], rblks,
                  tps_row[:lx - 1], cfg_row[1:],
                  y * lx + jnp.arange(lx - 1))

@@ -240,10 +240,10 @@ def _table_decision(tps, config, key, bond, chi, trunc, d, cmask, pq):
             jnp.ones((), jnp.int32))
 
 
-@_partial(jax.jit, static_argnames=("chi", "trunc", "d", "mode"))
-def _pbc_table_bond_step(tps, configs, keys, bond, chi, trunc, d, mode):
+@_partial(jax.jit, static_argnames=("chi", "trunc", "d", "rule"))
+def _pbc_table_bond_step(tps, configs, keys, bond, chi, trunc, d, rule):
     """One full-space (Suwa-Todo) decision at `bond` for all chains."""
-    cmask = UpdateRule(mode).mask_array(d) if mode != "full" else None
+    cmask = rule.mask_array(d)
     pp, qq = jnp.meshgrid(jnp.arange(d), jnp.arange(d), indexing="ij")
     pq = jnp.stack([pp.reshape(-1), qq.reshape(-1)], axis=1)
 
@@ -255,8 +255,8 @@ def _pbc_table_bond_step(tps, configs, keys, bond, chi, trunc, d, mode):
                        batch_size=1)
 
 
-@_partial(jax.jit, static_argnames=("chi", "trunc", "d", "mode", "k"))
-def _pbc_table_bond_chunk(tps, configs, keys, bonds, chi, trunc, d, mode,
+@_partial(jax.jit, static_argnames=("chi", "trunc", "d", "rule", "k"))
+def _pbc_table_bond_chunk(tps, configs, keys, bonds, chi, trunc, d, rule,
                           k):
     """k sequential Suwa-Todo decisions (bonds[0..k-1]) in ONE executable.
 
@@ -264,7 +264,7 @@ def _pbc_table_bond_chunk(tps, configs, keys, bonds, chi, trunc, d, mode,
     k-fold, unrolls the d^2-candidate TRG table k times (keep k small —
     the table step is d^2 heavier per bond than the exchange step).
     Bit-identical to k calls of _pbc_table_bond_step."""
-    cmask = UpdateRule(mode).mask_array(d) if mode != "full" else None
+    cmask = rule.mask_array(d)
     pp, qq = jnp.meshgrid(jnp.arange(d), jnp.arange(d), indexing="ij")
     pq = jnp.stack([pp.reshape(-1), qq.reshape(-1)], axis=1)
 
@@ -322,13 +322,13 @@ def mc_sweep_pbc_host(tps, configs, keys, chi: int, trunc: TruncParams,
             chunk = bonds[i0:i0 + k]
             configs, keys, a, t = _pbc_table_bond_chunk(
                 tps, configs, keys, jnp.asarray(chunk), chi, trunc, d,
-                rule.mode, len(chunk))
+                rule, len(chunk))
             acc = acc + a
             tri = tri + t
         return configs, keys, None, acc, tri
     for b in bonds:
         configs, keys, a, t = _pbc_table_bond_step(
-            tps, configs, keys, jnp.asarray(b), chi, trunc, d, rule.mode)
+            tps, configs, keys, jnp.asarray(b), chi, trunc, d, rule)
         acc = acc + a
         tri = tri + t
     return configs, keys, None, acc, tri

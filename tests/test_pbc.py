@@ -355,3 +355,77 @@ def test_pbc_host_collect_matches_scanned():
                     jax.random.PRNGKey(9), bc=PBC)
         stats[host] = m.stats["energy"]
     assert abs(stats[True][0] - stats[False][0]) < 1e-5, stats
+
+
+def test_pbc_host_sweep_respects_conserve_mask():
+    """Regression: the host-driven Suwa-Todo path used to rebuild the rule
+    from its mode string only, silently dropping conserve_mask — chains
+    left the fixed particle-number sector. The host sweep must (a) keep
+    the conserved occupancy exactly and (b) follow the scanned sweep's
+    trajectories bond for bond."""
+    from peps_tpu.montecarlo.sweep import UpdateRule
+    from peps_tpu.montecarlo.sweep_pbc import (mc_sweep_pbc,
+                                               mc_sweep_pbc_host)
+    from peps_tpu.tps import random_tps
+
+    ly = lx = 4
+    D, chi, d = 2, 8, 2
+    tp = TruncParams(chi, 1, 1e-10)
+    tps = random_tps(jax.random.PRNGKey(3), ly, lx, d, D, jnp.float32)
+    tps = tps / jnp.max(jnp.abs(tps))
+    cfg0 = jnp.asarray((np.indices((ly, lx)).sum(0) % 2).astype(np.int32))
+    cfgs = jnp.stack([cfg0, 1 - cfg0])
+    keys = jax.random.split(jax.random.PRNGKey(11), 2)
+
+    # particle-number-conserving full-space mask: (c1,c2)->(n1,n2) allowed
+    # iff c1+c2 == n1+n2 (the U(1) analogue of the Hubbard U1xU1 updater)
+    m = np.zeros((d * d, d * d), np.int32)
+    for c1 in range(d):
+        for c2 in range(d):
+            for n1 in range(d):
+                for n2 in range(d):
+                    if c1 + c2 == n1 + n2:
+                        m[c1 * d + c2, n1 * d + n2] = 1
+    rule = UpdateRule("suwa_todo",
+                      conserve_mask=tuple(map(tuple, m.tolist())))
+
+    n0 = np.asarray(cfgs).sum(axis=(1, 2))
+    for fuse in (1, 4):
+        got_cfgs, _, _, _, _ = mc_sweep_pbc_host(tps, cfgs, keys, chi, tp,
+                                                 rule, fuse_bonds=fuse)
+        got = np.asarray(got_cfgs)
+        np.testing.assert_array_equal(got.sum(axis=(1, 2)), n0,
+                                      err_msg=f"fuse={fuse}")
+
+    ref = [np.asarray(mc_sweep_pbc(tps, cfgs[i], keys[i], chi, tp, rule)[0])
+           for i in range(2)]
+    got_cfgs, _, _, _, _ = mc_sweep_pbc_host(tps, cfgs, keys, chi, tp, rule)
+    np.testing.assert_array_equal(np.asarray(got_cfgs), np.stack(ref))
+
+
+def test_pbc_rejects_fermionic_models():
+    """Reference parity (monte_carlo_engine.h:516-557): the TRG/PBC backend
+    is boson-only; fermionic models with bc=PERIODIC must be rejected."""
+    from peps_tpu.algorithm.mc_evaluator import (mc_energy_grad, MCParams,
+                                                 require_bosonic_for_pbc)
+    from peps_tpu.algorithm.energy_fermion import FermionTensors
+    from peps_tpu.lattice import BoundaryCondition
+    from peps_tpu.models.fermion import spinless_fermion
+    from peps_tpu.montecarlo.sweep import UpdateRule
+    from peps_tpu.tps import random_tps
+
+    model = spinless_fermion(1.0, 0.5)
+    ft = FermionTensors.from_model(model, jnp.float32)
+    with pytest.raises(ValueError, match="boson-only"):
+        require_bosonic_for_pbc(ft, BoundaryCondition.PERIODIC)
+    # open boundaries stay allowed
+    require_bosonic_for_pbc(ft, BoundaryCondition.OPEN)
+
+    tps = random_tps(jax.random.PRNGKey(0), 2, 2, 2, 2, jnp.float32,
+                     bc=PBC)
+    cfgs = jnp.zeros((2, 2, 2), jnp.int32).at[:, 0, 0].set(1)
+    with pytest.raises(ValueError, match="boson-only"):
+        mc_energy_grad(tps, cfgs, jax.random.PRNGKey(1), ft, 8,
+                       TruncParams(8, 1, 0.0), UpdateRule("exchange"),
+                       MCParams(num_samples=1, num_warmup_sweeps=0,
+                                nchains=2), bc=BoundaryCondition.PERIODIC)
