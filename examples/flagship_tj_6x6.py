@@ -138,7 +138,7 @@ def main(quick=False, resume=False):
                 MeasurementParams(num_samples=n_meas, num_warmup_sweeps=30,
                                   nchains=nchains, measure_pair_corr=False,
                                   eval_chunk=8, chunk_size=5,
-                                  handle_signals=True),
+                                  handle_signals=True, progress=True),
                 chi, TruncParams(chi, 1, 1e-6, scheme="sketch"), None,
                 final_configs, jax.random.PRNGKey(9))
     t_meas = time.time() - t0
@@ -157,7 +157,7 @@ def main(quick=False, resume=False):
                    MeasurementParams(num_samples=n_pc, num_warmup_sweeps=10,
                                      nchains=8, measure_pair_corr=True,
                                      eval_chunk=8, chunk_size=4,
-                                     handle_signals=True),
+                                     handle_signals=True, progress=True),
                    chi, TruncParams(chi, 1, 1e-6, scheme="sketch"), None,
                    final_configs[:8], jax.random.PRNGKey(13))
     t_pc = time.time() - t0

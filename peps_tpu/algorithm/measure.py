@@ -16,6 +16,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import signal
+import time
 from typing import Callable, NamedTuple
 
 import jax
@@ -126,6 +127,8 @@ class MeasurementParams:
     measure_pair_corr: bool = False   # t-J <Delta^dag Delta> walker scans
     chunk_size: int = 0      # >0: collect in chunks, allowing graceful stop
     handle_signals: bool = False  # SIGINT/SIGTERM -> stop + dump partial
+    progress: bool = False   # per-chunk console progress + ETA (reference:
+    #                          measurer progress bar, monte_carlo_peps_measurer.h:168)
     # chain batch for the per-sample energy/observable pass (memory bound,
     # same role as MCParams.eval_chunk): the full chain-batched vmap of the
     # local-energy tables can exceed HBM at production sizes (graded 6x6
@@ -331,12 +334,19 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
         collected = []
         done = 0
         acc = tri = 0
+        t_start = time.time()
         while done < params.num_samples and not stop_flag["stop"]:
             n = min(chunk, params.num_samples - done)
             configs, key, a, t, outs_c = collect(configs, key, n)
             acc, tri = acc + int(a), tri + int(t)
             collected.append(jax.tree.map(np.asarray, outs_c))
             done += n
+            if params.progress and done < params.num_samples:
+                dt = time.time() - t_start
+                eta = dt / done * (params.num_samples - done)
+                print(f"[measure] {done}/{params.num_samples} samples "
+                      f"({dt:.0f}s, ~{eta:.0f}s left, accept "
+                      f"{acc / max(tri, 1):.3f})", flush=True)
         outs = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *collected)
     finally:
         for sig, h in old_handlers.items():
