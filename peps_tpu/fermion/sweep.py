@@ -15,9 +15,11 @@ only on the interval between its two sites.
 * Horizontal bonds are snake-adjacent: the interval is empty, and the pair's
   parity change cancels for every later site. Within a row scan (run in
   snake direction), the only bookkeeping is a carried flag g = the prefix
-  flip at the current site caused by already-finalized sites of the row;
-  sites right of the bond share the j-site's flag, so TWO right-env stacks
-  (normal + flip-masked, with per-position log norms) cover every proposal.
+  flip at the current site caused by already-finalized sites of the row.
+  Sites right of the bond keep their pass-start dressing in BOTH the
+  current and the proposed state (the finalized prefix plus the displaced
+  carry value is a permutation of the pass-start values), so ONE normal
+  right-env stack closes every proposal.
 * Vertical bonds (y,x)-(y+1,x): the interval is one full side of the
   two-row window (right of x for even y, left for odd y). A scan in snake
   direction carries one global pending flag g (each accepted exchange
@@ -91,12 +93,12 @@ def _bond_key(key, pass_id, y, x):
 
 
 def _h_row_kernel(top, bot, cands, cfg0, pi_d, key, y, chi, trunc,
-                  flip_row, jrow=None):
+                  jrow=None):
     """One snake-direction (L->R frame) horizontal-bond pass over a row.
 
     top/bot: boundary rows [Lx, chi, D, chi]; cands: [Lx, d, 2, u,l,d,r]
     dressed candidates vs the CURRENT config; cfg0: row values at pass
-    start [Lx]; flip_row: [Lx, u,l,d,r] flip mask. jrow: optional Jastrow
+    start [Lx]. jrow: optional Jastrow
     data (nvals [d], field0 [Lx] at this row's sites, vrow [Lx, Lx] the
     dress matrix restricted to this row, in kernel position order).
     Returns (new_cfg, new_top, acc, tri)."""
@@ -106,9 +108,14 @@ def _h_row_kernel(top, bot, cands, cfg0, pi_d, key, y, chi, trunc,
     row_n = jnp.take_along_axis(
         cands[:, :, 0], cfg0[:, None, None, None, None, None],
         axis=1).squeeze(1)                                # current, flag 0
-    row_f = row_n * flip_row
-    rights_n, lw_n = _right_btens_logs(top, bot, row_n, dtype)
-    rights_f, lw_f = _right_btens_logs(top, bot, row_f, dtype)
+    # ONE right stack suffices: an in-row exchange permutes values within
+    # the snake prefix of every site right of the bond, so the prefix
+    # parity there is INVARIANT — identical for the current and proposed
+    # states (and equal to its pass-start value, since sites > bond still
+    # hold cfg0 values). Selecting a flip-masked stack per proposal was the
+    # round-3 sampler bug: parity-changing exchanges (hole hops) got
+    # acceptance ratios from mismatched environments.
+    rights_n, _ = _right_btens_logs(top, bot, row_n, dtype)
     pi0 = pi_d[cfg0]                                      # [Lx]
 
     chi_ = top.shape[1]
@@ -126,23 +133,21 @@ def _h_row_kernel(top, bot, cands, cfg0, pi_d, key, y, chi, trunc,
 
     def bond_step(carry, xs):
         lenv, c_cur, g_cur, field, acc, tri = carry
-        t1, b1, t2, b2, rn, rf, lwn, lwf, cands1, cands2, c2, p0_1, x = xs
+        t1, b1, t2, b2, rn, cands1, cands2, c2, p0_1, x = xs
         k = _bond_key(key, 0, y, x)
-        pj_cur = g_cur ^ (pi_d[c_cur].astype(jnp.int32) ^ p0_1)
+        # pj_cur = g_cur ^ (pi(c_cur) ^ pi0[x]) is identically 0: the
+        # finalized sites plus the displaced c_cur are a permutation of the
+        # pass-start values on sites 0..x. Site2's current flag is 0 and
+        # the right env is the normal stack for BOTH states.
         pj_new = g_cur ^ (pi_d[c2].astype(jnp.int32) ^ p0_1)
         s1_cur = cands1[c_cur, g_cur]
-        s2_cur = cands2[c2, pj_cur]
+        s2_cur = cands2[c2, 0]
         s1_new = cands1[c2, g_cur]
         s2_new = cands2[c_cur, pj_new]
-        r_cur = jnp.where(pj_cur == 1, rf, rn)
-        r_new = jnp.where(pj_new == 1, rf, rn)
-        lw_cur = jnp.where(pj_cur == 1, lwf, lwn)
-        lw_new = jnp.where(pj_new == 1, lwf, lwn)
-        psi_cur = close2(lenv, t1, s1_cur, b1, t2, s2_cur, b2, r_cur)
-        psi_new = close2(lenv, t1, s1_new, b1, t2, s2_new, b2, r_new)
+        psi_cur = close2(lenv, t1, s1_cur, b1, t2, s2_cur, b2, rn)
+        psi_new = close2(lenv, t1, s1_new, b1, t2, s2_new, b2, rn)
         ratio2 = (jnp.abs(psi_new) ** 2
-                  / jnp.maximum(jnp.abs(psi_cur) ** 2, jnp.finfo(rdt).tiny)
-                  * jnp.exp(2.0 * (lw_new - lw_cur)))
+                  / jnp.maximum(jnp.abs(psi_cur) ** 2, jnp.finfo(rdt).tiny))
         if jrow is not None:
             # exchange (a, b) -> (b, a) at kernel positions (x, x+1):
             # dlogJ = -delta (F_i - F_j) + delta^2 v_ij  (J = -1/2 nVn)
@@ -166,7 +171,7 @@ def _h_row_kernel(top, bot, cands, cfg0, pi_d, key, y, chi, trunc,
         return (lenv, new2, g_next, field, acc, tri), (new1, g_cur)
 
     xs = (top[:lx - 1], bot[:lx - 1], top[1:], bot[1:],
-          rights_n[2:], rights_f[2:], lw_n[2:], lw_f[2:],
+          rights_n[2:],
           cands[:lx - 1], cands[1:], cfg0[1:],
           pi0[:lx - 1].astype(jnp.int32), jnp.arange(lx - 1))
     field_init = field0 if jrow is not None else jnp.zeros((lx,), rdt)
@@ -315,16 +320,12 @@ def mc_sweep_fermion_shared(tps, space: FermionSpace, config, key, chi,
         y, bot = xs
         odd = y % 2 == 1
         cands_full = fermion_candidates(tps, config, space)
-        flip_full = fermion_flip_mask(config, space, ly, lx, dtype)
         cands = jax.lax.dynamic_index_in_dim(cands_full, y, 0,
                                              keepdims=False)
-        fliprow = jax.lax.dynamic_index_in_dim(flip_full, y, 0,
-                                               keepdims=False)
         cfg_row = jax.lax.dynamic_index_in_dim(config, y, 0, keepdims=False)
         top_u = jnp.where(odd, _refl_bmps(top), top)
         bot_u = jnp.where(odd, _refl_bmps(bot), bot)
         cands_u = jnp.where(odd, _refl_site(cands), cands)
-        flip_u = jnp.where(odd, _refl_site(fliprow), fliprow)
         cfg_u = jnp.where(odd, cfg_row[::-1], cfg_row)
         jrow = None
         if dress is not None:
@@ -334,8 +335,7 @@ def mc_sweep_fermion_shared(tps, space: FermionSpace, config, key, chi,
             jrow = (dress.nvals.astype(rdt), field_full[sid],
                     dress.v[sid][:, sid].astype(rdt))
         new_cfg, new_top, acc, tri = _h_row_kernel(
-            top_u, bot_u, cands_u, cfg_u, pi_d, kh, y, chi, trunc, flip_u,
-            jrow)
+            top_u, bot_u, cands_u, cfg_u, pi_d, kh, y, chi, trunc, jrow)
         new_cfg = jnp.where(odd, new_cfg[::-1], new_cfg)
         new_top = jnp.where(odd, _refl_bmps(new_top), new_top)
         config = jax.lax.dynamic_update_index_in_dim(config, new_cfg, y, 0)

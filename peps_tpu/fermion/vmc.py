@@ -108,12 +108,15 @@ def snake_string_signs(config, ft: FermionTensors, rdt):
         out[("ad", "up")] = between_ad
     else:
         # species-internal adjacency within a site: up before down.
-        # horizontal neighbors: between c_up(i) and c_up(j) sits dn(i)'s
-        # partner... — matrix elements are built in the ordered two-site
-        # basis (gates.bond_h2), so only the INTER-site string appears here,
-        # times the intra-pair Z factors identical to the row-major case.
-        out[("h", "up")] = zd[:, :-1]
-        out[("h", "dn")] = zu[:, 1:]
+        # horizontal neighbors: between c_up(i) and c_up(j) sits dn of the
+        # JW-EARLIER site; between dn(i) and dn(j) sits up of the LATER
+        # site (matrix elements are built in the ordered two-site basis,
+        # gates.bond_h2, so only these intra-pair Z factors appear). The
+        # JW-earlier site follows the snake: lattice-LEFT on even rows,
+        # lattice-RIGHT on odd rows (odd rows traverse R->L).
+        even_h = (jnp.arange(ly) % 2 == 0)[:, None]
+        out[("h", "up")] = jnp.where(even_h, zd[:, :-1], zd[:, 1:])
+        out[("h", "dn")] = jnp.where(even_h, zu[:, 1:], zu[:, :-1])
         out[("v", "up")] = zd[:-1] * between_v
         out[("v", "dn")] = between_v * zu[1:]
         # endpoint Z factors: up-hop carries zd at the JW-earlier site i,
@@ -309,10 +312,14 @@ def local_energy_and_holes_graded(tps, config, model: GradedFermionModel,
 
 
 def mc_sweep_fermion(tps, space: FermionSpace, config, key, chi,
-                     trunc: TruncParams, conserve_mask=None):
+                     trunc: TruncParams):
     """One Metropolis sweep over all NN bonds (exchange moves) with full
     amplitude recomputes (sign-consistent by construction). Returns
-    (config', log_abs_psi', stats) like the bosonic mc_sweep."""
+    (config', log_abs_psi', stats) like the bosonic mc_sweep.
+
+    No conserve_mask parameter: exchange moves conserve every occupation
+    number by construction (the bosonic sweep's mask restricts full-space
+    Suwa-Todo proposals, which this sweep never makes)."""
     from peps_tpu.montecarlo.sweep import SweepStats
 
     ly, lx = config.shape

@@ -177,3 +177,84 @@ def test_graded_dressed_energy_matches_oracle():
     Hs = H[np.ix_(idx, idx)]
     e_want = float(vj @ Hs @ vj) / float(vj @ vj)
     assert abs(e_got - e_want) < 1e-8, (e_got, e_want)
+
+
+def _random_even_state(key_seed, ly, lx, d, D, space):
+    """Random parity-even graded state — far from equilibrium, so
+    Metropolis ratios span orders of magnitude (the SU states above are
+    too tame to catch mis-rated bonds)."""
+    from peps_tpu.fermion.graded import GT, project_even
+    pp, pb = space.phys_parity, space.bond_parity
+    rng = np.random.default_rng(key_seed)
+    tps = rng.normal(size=(ly, lx, d, D, D, D, D))
+    for y in range(ly):
+        for x in range(lx):
+            g = GT(jnp.asarray(tps[y, x]), (pp, pb, pb, pb, pb),
+                   (False, True, True, False, False))
+            tps[y, x] = np.asarray(project_even(g).data)
+    return jnp.asarray(tps)
+
+
+def run_random_state_check(which: str) -> None:
+    """Chained shared-vs-oracle trajectory check on a random state.
+
+    Regression for the round-3 sampler bug (the h-kernel closed proposals
+    against a flip-masked right env although an in-row exchange never
+    changes the right prefix parity): on random states every
+    parity-changing exchange got a wrong acceptance ratio and trajectories
+    diverged from the full-recompute oracle within one sweep. Every
+    decision must agree bit-for-bit AND real acceptances must occur.
+
+    Called in a FRESH subprocess by the test below: in a warmed pytest
+    process these executables segfault XLA:CPU both when loaded from the
+    persistent cache (AOT deserializer) and when compiled fresh (LLVM JIT
+    wear-out); a fresh no-cache process is reliable. See
+    .claude/skills/verify/SKILL.md gotchas."""
+    if which == "spinless":
+        model, ly, lx, D = spinless_fermion(1.0, 0.5), 2, 3, 3
+        occ0 = np.array([[0, 1, 0], [0, 0, 1]])
+    else:
+        model, ly, lx, D = tj_model(3.0, 1.0), 3, 2, 3
+        occ0 = np.array([[1, 2], [0, 0], [2, 1]])
+    space = space_for_model(model, D)
+    tps = _random_even_state(7, ly, lx, model.phys_dim, D, space)
+    chi = 24
+    tp = TruncParams(chi, 1, 0.0)
+    total_acc = 0
+    for seed in range(3):
+        cfg = jnp.asarray(occ0.astype(np.int32))
+        key = jax.random.PRNGKey(500 + seed)
+        for sweep in range(6):
+            key, ks = jax.random.split(key)
+            c_fast, _, st_fast = mc_sweep_fermion_shared(tps, space, cfg,
+                                                         ks, chi, tp)
+            c_ref, _, st_ref = mc_sweep_fermion_oracle(tps, space, cfg,
+                                                       ks, chi, tp)
+            assert np.array_equal(np.asarray(c_fast),
+                                  np.asarray(c_ref)), (seed, sweep)
+            assert int(st_fast.accepted) == int(st_ref.accepted), \
+                (seed, sweep)
+            cfg = c_fast
+            total_acc += int(st_fast.accepted)
+    assert total_acc > 10, total_acc   # ratios actually exercised
+    print(f"RANDOM_STATE_OK {which} acc={total_acc}")
+
+
+@pytest.mark.parametrize("which", ["spinless", "tj"])
+def test_shared_sweep_matches_oracle_random_state(which):
+    import os
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_ENABLE_COMPILATION_CACHE"] = "false"
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "jax.config.update('jax_enable_x64', True); "
+            "import sys; sys.path.insert(0, %r); "
+            "from tests.test_fermion_sweep import run_random_state_check; "
+            "run_random_state_check(%r)" % (repo, which))
+    r = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
+                       capture_output=True, text=True, timeout=1500)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert f"RANDOM_STATE_OK {which}" in r.stdout, r.stdout[-2000:]

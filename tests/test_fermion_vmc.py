@@ -221,3 +221,84 @@ def test_graded_exact_sum_energy_t2_tj_3rows():
     e_oracle, _ = oracle_sector_energy(model, ly, lx, tps, space, occ0)
     assert abs(float(res.energy) - e_oracle) < 1e-8, (float(res.energy),
                                                       e_oracle)
+
+
+def test_graded_exact_sum_energy_matches_oracle_hubbard():
+    """Hubbard on a RANDOM parity-even graded state, full-space expectation
+    vs the snake-ordered second-quantized oracle. Regression for the
+    odd-row horizontal-hop string sign: with double occupancy allowed, an
+    up-hop between sites whose n_dn differ picks up the Z factor of the
+    JW-EARLIER site, which on odd (R->L) snake rows is the lattice-RIGHT
+    site (both exchange endpoints of t-J/spinless hops carry a hole, so
+    those models never see this factor)."""
+    from peps_tpu.fermion.graded import GT, project_even
+    from peps_tpu.models.fermion import hubbard
+
+    model = hubbard(1.0, 4.0, mu=0.3)
+    ly, lx, D = 2, 2, 3
+    space = space_for_model(model, D)
+    pp, pb = space.phys_parity, space.bond_parity
+    d = model.phys_dim
+    rng = np.random.default_rng(1)
+    tps = rng.normal(size=(ly, lx, d, D, D, D, D))
+    for y in range(ly):
+        for x in range(lx):
+            g = GT(jnp.asarray(tps[y, x]), (pp, pb, pb, pb, pb),
+                   (False, True, True, False, False))
+            tps[y, x] = np.asarray(project_even(g).data)
+    tps = jnp.asarray(tps)
+    gm = GradedFermionModel.from_model(model, space, tps.dtype)
+
+    n = ly * lx
+    configs = jnp.asarray(
+        np.array(list(itertools.product(range(d), repeat=n)),
+                 dtype=np.int32).reshape(-1, ly, lx))
+    res = exact_sum_energy_gradient(tps, configs, gm, CHI, TP,
+                                    with_grad=False)
+
+    c = exact_coefficients(tps, pp, space.bond_parity)
+    seq = snake_order(ly, lx)
+    perm = [seq.index((y, x)) for y in range(ly) for x in range(lx)]
+    v = np.transpose(c, perm).reshape(-1)
+    H = FO.build_fermion_hamiltonian(model, ly, lx, order="snake").toarray()
+    e_want = float(v @ H @ v) / float(v @ v)
+    assert abs(float(res.energy) - e_want) < 1e-7, (float(res.energy),
+                                                    e_want)
+
+
+def test_graded_exact_sum_energy_matches_oracle_hubbard_3cols():
+    """Same regression at 2x3: odd-row horizontal bonds at every column
+    position, plus vertical bonds with nontrivial strings."""
+    from peps_tpu.fermion.graded import GT, project_even
+    from peps_tpu.models.fermion import hubbard
+
+    model = hubbard(1.0, 6.0, mu=0.1)
+    ly, lx, D = 2, 3, 2
+    space = space_for_model(model, D)
+    pp, pb = space.phys_parity, space.bond_parity
+    d = model.phys_dim
+    rng = np.random.default_rng(3)
+    tps = rng.normal(size=(ly, lx, d, D, D, D, D))
+    for y in range(ly):
+        for x in range(lx):
+            g = GT(jnp.asarray(tps[y, x]), (pp, pb, pb, pb, pb),
+                   (False, True, True, False, False))
+            tps[y, x] = np.asarray(project_even(g).data)
+    tps = jnp.asarray(tps)
+    gm = GradedFermionModel.from_model(model, space, tps.dtype)
+
+    n = ly * lx
+    configs = jnp.asarray(
+        np.array(list(itertools.product(range(d), repeat=n)),
+                 dtype=np.int32).reshape(-1, ly, lx))
+    res = exact_sum_energy_gradient(tps, configs, gm, CHI, TP,
+                                    with_grad=False, batch_size=256)
+
+    c = exact_coefficients(tps, pp, space.bond_parity)
+    seq = snake_order(ly, lx)
+    perm = [seq.index((y, x)) for y in range(ly) for x in range(lx)]
+    v = np.transpose(c, perm).reshape(-1)
+    H = FO.build_fermion_hamiltonian(model, ly, lx, order="snake").toarray()
+    e_want = float(v @ H @ v) / float(v @ v)
+    assert abs(float(res.energy) - e_want) < 1e-7, (float(res.energy),
+                                                    e_want)
