@@ -14,9 +14,12 @@ fermionic U(1) tensors) end to end on TPU:
    <Delta^dag Delta> (the reference's superconducting-order diagnostic,
    singlet_pair_correlation_measurement_mixin.h).
 
-Run: python examples/flagship_tj_6x6.py [quick]
+Run: python examples/flagship_tj_6x6.py [quick|cpu] [resume]
 Phase checkpoints land in examples/out_flagship/; `resume` skips SU+VMC
 and re-enters at the measurement phase from the saved lowest state.
+`cpu` forces the CPU backend and runs a reduced configuration
+(chi=24, 16 chains, 60 SR iterations) sized for an 8-vCPU host — the
+fallback used when the TPU tunnel is down.
 """
 import json
 import os
@@ -49,12 +52,16 @@ OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "out_flagship")
 
 
-def main(quick=False, resume=False):
+def main(quick=False, resume=False, cpu=False):
     ly = lx = 6
-    d_su, d_vmc, chi = 4, 8, 32
+    d_su, d_vmc = 4, 8
+    chi = 24 if cpu else 32
     t, j_ex = 3.0, 1.0
     model = tj_model(t, j_ex)
-    nchains = 32
+    nchains = 16 if cpu else 32
+    n_iters_full = 60 if cpu else 120
+    n_meas_full = 60 if cpu else 100
+    n_pc_full = 12 if cpu else 40
 
     # 2-hole doping: holes at (2,2) and (3,2); Neel-ish spin background
     occ0 = (np.indices((ly, lx)).sum(0) % 2 + 1).astype(int)  # 1/2 checker
@@ -66,7 +73,8 @@ def main(quick=False, resume=False):
           f"holes={ly * lx - n_up - n_dn} ==", flush=True)
 
     os.makedirs(OUT_DIR, exist_ok=True)
-    ckpt = os.path.join(OUT_DIR, "vmc_quick.npz" if quick else "vmc.npz")
+    name = "vmc_quick.npz" if quick else ("vmc_cpu.npz" if cpu else "vmc.npz")
+    ckpt = os.path.join(OUT_DIR, name)
     space4 = space_for_model(model, d_su)
     space8 = FermionSpace(space4.phys_parity, 4, 4)
     n_sites = ly * lx
@@ -106,7 +114,7 @@ def main(quick=False, resume=False):
         gm = GradedFermionModel.from_model(model, space8, tps.dtype)
 
         t0 = time.time()
-        n_iters = 10 if quick else 120
+        n_iters = 10 if quick else n_iters_full
         vp = VMCParams(
             chi=chi, trunc=TruncParams(chi, 1, 1e-6, scheme="sketch"),
             mc=MCParams(num_samples=1,
@@ -133,7 +141,7 @@ def main(quick=False, resume=False):
         print(f"checkpoint -> {ckpt}", flush=True)
 
     t0 = time.time()
-    n_meas = 20 if quick else 100
+    n_meas = 20 if quick else n_meas_full
     m = measure(lowest_state, gm,
                 MeasurementParams(num_samples=n_meas, num_warmup_sweeps=30,
                                   nchains=nchains, measure_pair_corr=False,
@@ -152,7 +160,7 @@ def main(quick=False, resume=False):
     # row envs; excited-BMPS propagation for the vertical pairs) — a
     # dedicated pass at smaller chain count
     t0 = time.time()
-    n_pc = 4 if quick else 40
+    n_pc = 4 if quick else n_pc_full
     m_pc = measure(lowest_state, gm,
                    MeasurementParams(num_samples=n_pc, num_warmup_sweeps=10,
                                      nchains=8, measure_pair_corr=True,
@@ -166,7 +174,9 @@ def main(quick=False, resume=False):
     print(f"pair-corr pass {n_pc} samples in {t_pc:.0f}s", flush=True)
 
     summary = {
-        "config": f"{ly}x{lx} t-J t={t} J={j_ex} {n_up + n_dn}e/2h D=8 chi=32",
+        "config": (f"{ly}x{lx} t-J t={t} J={j_ex} {n_up + n_dn}e/2h "
+                   f"D={d_vmc} chi={chi} nchains={nchains}"
+                   + (" [cpu fallback]" if cpu else "")),
         "e_vmc_lowest_per_site": round(lowest_energy / n_sites, 5),
         "e_meas_per_site": round(float(e_mean) / n_sites, 5),
         "e_meas_err_per_site": round(float(e_err) / n_sites, 5),
@@ -186,11 +196,18 @@ def main(quick=False, resume=False):
         summary["pair_corr_row_decay"] = decay
     print(json.dumps(summary), flush=True)
     with open(os.path.join(
-            OUT_DIR, "summary_quick.json" if quick else "summary.json"),
+            OUT_DIR, "summary_quick.json" if quick
+            else ("summary_cpu.json" if cpu else "summary.json")),
             "w") as f:
         json.dump(summary, f, indent=1)
     return summary
 
 
 if __name__ == "__main__":
-    main(quick="quick" in sys.argv[1:], resume="resume" in sys.argv[1:])
+    if "cpu" in sys.argv[1:]:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(OUT_DIR), "..",
+                                       ".jax_cache"))
+    main(quick="quick" in sys.argv[1:], resume="resume" in sys.argv[1:],
+         cpu="cpu" in sys.argv[1:])
