@@ -347,12 +347,17 @@ def _reduced_project(At: GT, Bt: GT, gate, h_bond, space: FermionSpace,
 
 
 def product_fermion_peps(ly: int, lx: int, space: FermionSpace,
-                         occupancy, dtype=jnp.float64) -> PEPS:
+                         occupancy, dtype=None) -> PEPS:
     """Product state |occupancy> as an even graded PEPS: the cumulative
     occupation parity is routed through the virtual bonds along the snake
     path, keeping every site tensor parity-even (the reference instead adds
     a 1-dim parity leg per tensor; routing avoids the extra leg). Requires
-    even TOTAL parity and d_odd >= 1 when any prefix parity is odd."""
+    even TOTAL parity and d_odd >= 1 when any prefix parity is odd.
+
+    ``dtype=None`` resolves to the widest available real dtype (float64
+    under x64, else float32) without triggering a truncation warning."""
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     from peps_tpu.fermion.exact import snake_order
     occ = np.asarray(occupancy)
     d = len(space.phys_parity)
