@@ -192,7 +192,9 @@ def main(quick=False, resume=False, cpu=False):
         for dist in range(2, nb):
             vals = [pc[y, i, i + dist] for y in range(ly)
                     for i in range(nb - dist)]
-            decay[dist] = round(float(np.mean(vals)), 6)
+            # 3 significant digits (NOT fixed decimals: at 2-hole doping the
+            # correlators are ~1e-5 and fixed rounding would zero them out)
+            decay[dist] = float(f"{float(np.mean(vals)):.3g}")
         summary["pair_corr_row_decay"] = decay
     print(json.dumps(summary), flush=True)
     with open(os.path.join(

@@ -27,18 +27,25 @@ from peps_tpu.montecarlo.engine import init_configs_occupancy
 from peps_tpu.montecarlo.sweep import UpdateRule
 from peps_tpu.optimizer import optimizer as opt
 from peps_tpu.optimizer.cg import CGParams
-from peps_tpu.tps import random_tps
+from peps_tpu.peps import (SimpleUpdateParams, product_peps_pbc,
+                           simple_update, to_tps_pbc)
 
 
 def main(n=4, d_bond=3, chi=12, iters=40, dtype=jnp.float32):
     model = spin.heisenberg(1.0)
     trunc = TruncParams(chi, 1, 1e-6, scheme="fast", rsvd_power=1)
 
-    # PBC has no simple-update analogue here (lambdas are OBC gauge);
-    # start from a small random translation-breaking state as the
-    # reference's PBC integration tests do.
-    tps = random_tps(jax.random.PRNGKey(0), n, n, 2, d_bond, dtype=dtype,
-                     bc=BoundaryCondition.PERIODIC, scale=0.5)
+    # torus simple update (reference: Periodic SquareLatticePEPS layout)
+    # from a Neel product start gives VMC a physical initial state
+    occ0 = np.indices((n, n)).sum(0) % 2
+    peps = product_peps_pbc(n, n, d_bond, occ0, 2, dtype=dtype)
+    for tau in (0.2, 0.05):
+        su = simple_update(peps, model.h_h, model.h_v,
+                           SimpleUpdateParams(steps=120, tau=tau,
+                                              trunc=TruncParams(d_bond, 1, 1e-10),
+                                              energy_abs_tol=1e-8))
+        peps = su.peps
+    tps = to_tps_pbc(peps).astype(dtype)
     tps = tps / jnp.max(jnp.abs(tps))
 
     n_up = n * n // 2

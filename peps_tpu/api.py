@@ -19,7 +19,8 @@ from peps_tpu.optimizer.optimizer import (AdaGradParams, AdamParams,
                                           OptimizerParams, SGDParams,
                                           SRParams)
 from peps_tpu.peps import (PEPS, SimpleUpdateParams, product_peps,
-                           simple_update, to_tps)
+                           product_peps_pbc, simple_update, to_tps,
+                           to_tps_pbc)
 from peps_tpu.peps_cluster import simple_update_nnn, simple_update_triangle
 from peps_tpu.loop_update import LoopUpdateParams, loop_update
 from peps_tpu.models import fermion, spin
@@ -59,7 +60,8 @@ __all__ = [
     "init_configs_occupancy", "init_configs_uniform",
     "SGDParams", "AdaGradParams", "AdamParams", "SRParams", "MinSRParams",
     "LBFGSParams", "OptimizerParams",
-    "PEPS", "SimpleUpdateParams", "product_peps", "simple_update", "to_tps",
+    "PEPS", "SimpleUpdateParams", "product_peps", "product_peps_pbc",
+    "simple_update", "to_tps", "to_tps_pbc",
     "random_tps", "project", "save_tps", "load_tps",
     "simple_update_nnn", "simple_update_triangle",
     "LoopUpdateParams", "loop_update",

@@ -86,6 +86,38 @@ def to_tps(peps: PEPS) -> jnp.ndarray:
     return a * mask
 
 
+def product_peps_pbc(ly: int, lx: int, bond_dim: int, occupancy: jnp.ndarray,
+                     phys_dim: int, dtype=jnp.float32) -> PEPS:
+    """Product-state PEPS on the TORUS (reference PBC layout,
+    square_lattice_peps.h:120-141: lam_v[0,x] wraps bottom-to-top,
+    lam_h[y,0] wraps right-to-left). lam_v/lam_h are [Ly, Lx, D] — every
+    bond is real; the OBC/PBC layout is distinguished by lam_v.shape[0]
+    (Ly for PBC, Ly+1 for OBC)."""
+    g = jnp.zeros((ly, lx, phys_dim, bond_dim, bond_dim, bond_dim, bond_dim), dtype)
+    occ = jnp.asarray(occupancy)
+    onehot = jax.nn.one_hot(occ, phys_dim, dtype=dtype)
+    g = g.at[:, :, :, 0, 0, 0, 0].set(onehot)
+    lam_v = jnp.zeros((ly, lx, bond_dim), dtype).at[:, :, 0].set(1.0)
+    lam_h = jnp.zeros((ly, lx, bond_dim), dtype).at[:, :, 0].set(1.0)
+    return PEPS(g, lam_v, lam_h)
+
+
+def is_pbc(peps: PEPS) -> bool:
+    """True iff the state uses the periodic lambda layout."""
+    return peps.lam_v.shape[0] == peps.gammas.shape[0]
+
+
+def to_tps_pbc(peps: PEPS) -> jnp.ndarray:
+    """Absorb sqrt(lambda) of every torus bond into the site tensors
+    (PBC counterpart of :func:`to_tps`; no boundary mask — all bonds real)."""
+    g, lam_v, lam_h = peps
+    su = jnp.sqrt(lam_v)                        # bond above each site
+    sd = jnp.sqrt(jnp.roll(lam_v, -1, axis=0))  # bond below = above (y+1)%Ly
+    sl = jnp.sqrt(lam_h)                        # bond left of each site
+    sr = jnp.sqrt(jnp.roll(lam_h, -1, axis=1))  # bond right = left of (x+1)%Lx
+    return jnp.einsum("yxpuldr,yxu,yxl,yxd,yxr->yxpuldr", g, su, sl, sd, sr)
+
+
 def _transpose_peps(peps: PEPS) -> PEPS:
     """Reflect the lattice across the main diagonal: (y,x)->(x,y), u<->l,
     d<->r. Vertical bonds become horizontal, so one horizontal-bond kernel
@@ -197,6 +229,89 @@ def _apply_h_sublattice(peps: PEPS, xs, gate, h_bond, trunc: TruncParams):
     return PEPS(g, lam_v, lam_h), metrics
 
 
+def _pbc_bond_groups(l: int):
+    """Site-disjoint groups of ring bonds (x, (x+1)%l). Even rings
+    2-color like the OBC checkerboard; odd rings need a third group for
+    the wrap bond (an odd cycle is not 2-colorable)."""
+    if l < 2:
+        return []
+    if l % 2 == 0:
+        groups = [tuple(range(0, l, 2)), tuple(range(1, l, 2))]
+    else:
+        groups = [tuple(range(0, l - 1, 2)), tuple(range(1, l - 2, 2)),
+                  (l - 1,)]
+    return [g for g in groups if g]
+
+
+def _gather_h_bonds_pbc(peps: PEPS, xs):
+    """Gather batch inputs for torus bonds (y, x)-(y, (x+1)%Lx), x in xs."""
+    g, lam_v, lam_h = peps
+    lx = g.shape[1]
+    xs = jnp.asarray(xs)
+    x1 = (xs + 1) % lx
+    x2 = (xs + 2) % lx
+    D = g.shape[3]
+    gA = g[:, xs].reshape(-1, *g.shape[2:])
+    gB = g[:, x1].reshape(-1, *g.shape[2:])
+    lam_v_dn = jnp.roll(lam_v, -1, axis=0)   # bond below each site
+    lu_a = lam_v[:, xs].reshape(-1, D)
+    ld_a = lam_v_dn[:, xs].reshape(-1, D)
+    ll_a = lam_h[:, xs].reshape(-1, D)
+    lam_mid = lam_h[:, x1].reshape(-1, D)
+    lu_b = lam_v[:, x1].reshape(-1, D)
+    ld_b = lam_v_dn[:, x1].reshape(-1, D)
+    lr_b = lam_h[:, x2].reshape(-1, D)
+    return gA, gB, lu_a, ll_a, ld_a, lu_b, ld_b, lr_b, lam_mid
+
+
+def _apply_h_sublattice_pbc(peps: PEPS, xs, gate, h_bond, trunc: TruncParams):
+    """PBC counterpart of :func:`_apply_h_sublattice`; xs must be a
+    site-disjoint ring-bond group from :func:`_pbc_bond_groups`.
+    gate/h_bond: per-bond arrays [Ly, Lx, d, d, d, d] (bond x wraps)."""
+    g, lam_v, lam_h = peps
+    ly, lx = g.shape[:2]
+    d = g.shape[2]
+    xs_arr = jnp.asarray(xs)
+    x1 = (xs_arr + 1) % lx
+    gate_b = gate[:, xs_arr].reshape(-1, d, d, d, d)
+    h_b = h_bond[:, xs_arr].reshape(-1, d, d, d, d)
+    inputs = _gather_h_bonds_pbc(peps, xs)
+    ga, gb, lam_new, metrics = _apply_gate_batch(*inputs, gate_b, h_b, trunc)
+    nb = len(xs)
+    g = g.at[:, xs_arr].set(ga.reshape(ly, nb, *g.shape[2:]))
+    g = g.at[:, x1].set(gb.reshape(ly, nb, *g.shape[2:]))
+    lam_h = lam_h.at[:, x1].set(lam_new.reshape(ly, nb, -1))
+    return PEPS(g, lam_v, lam_h), metrics
+
+
+def simple_update_sweep_pbc(peps: PEPS, gate_h: jnp.ndarray, gate_v: jnp.ndarray,
+                            h_bond_h: jnp.ndarray, h_bond_v: jnp.ndarray,
+                            trunc: TruncParams):
+    """One full torus sweep: ring-bond groups on columns, then (through the
+    transposed lattice) on rows. Same second-order checkerboard
+    Trotterization as :func:`simple_update_sweep`, with the wrap bonds in
+    their own group on odd rings."""
+    lx, ly = peps.lx, peps.ly
+    e_sum = jnp.zeros((), peps.gammas.real.dtype)
+    log_norm = jnp.zeros((), peps.gammas.real.dtype)
+    terr = jnp.zeros((), peps.gammas.real.dtype)
+
+    for xs in _pbc_bond_groups(lx):
+        peps, m = _apply_h_sublattice_pbc(peps, xs, gate_h, h_bond_h, trunc)
+        e_sum += jnp.sum(m.bond_energy)
+        log_norm += m.log_norm
+        terr = jnp.maximum(terr, m.trunc_err)
+
+    peps = _transpose_peps(peps)
+    for ys in _pbc_bond_groups(ly):
+        peps, m = _apply_h_sublattice_pbc(peps, ys, gate_v, h_bond_v, trunc)
+        e_sum += jnp.sum(m.bond_energy)
+        log_norm += m.log_norm
+        terr = jnp.maximum(terr, m.trunc_err)
+    peps = _transpose_peps(peps)
+    return peps, (e_sum, log_norm, terr)
+
+
 def simple_update_sweep(peps: PEPS, gate_h: jnp.ndarray, gate_v: jnp.ndarray,
                         h_bond_h: jnp.ndarray, h_bond_v: jnp.ndarray,
                         trunc: TruncParams):
@@ -257,27 +372,36 @@ def simple_update(peps: PEPS, h_bond_h: jnp.ndarray, h_bond_v: jnp.ndarray,
     h_bond_h: [d,d,d,d] uniform or [Ly, Lx-1, d,d,d,d] per-bond;
     h_bond_v: [d,d,d,d] uniform or [Ly-1, Lx, d,d,d,d] per-bond.
     Use :func:`fold_site_into_bonds` to absorb single-site fields exactly.
+
+    PBC states (from :func:`product_peps_pbc`) are detected by their lambda
+    layout and evolved with the torus sweep; per-bond arrays are then
+    [Ly, Lx, ...] (bond x wraps to (x+1)%Lx), mirroring the reference's
+    Periodic ham-set shapes (square_lattice_nn_simple_update.h:63-66).
     """
     d = peps.phys_dim
     ly, lx = peps.ly, peps.lx
+    pbc = is_pbc(peps)
+    nhx = lx if pbc else lx - 1
+    nvy = ly if pbc else ly - 1
     dt = peps.gammas.dtype
     hh = jnp.asarray(h_bond_h, dt)
     hv = jnp.asarray(h_bond_v, dt)
     if hh.ndim == 4:
-        hh = jnp.broadcast_to(hh, (ly, lx - 1, d, d, d, d))
+        hh = jnp.broadcast_to(hh, (ly, nhx, d, d, d, d))
     if hv.ndim == 4:
-        hv = jnp.broadcast_to(hv, (ly - 1, lx, d, d, d, d))
+        hv = jnp.broadcast_to(hv, (nvy, lx, d, d, d, d))
 
     tau = params.tau
     make_gate = jax.vmap(lambda m: expm_taylor(-tau * m))
-    gate_h = make_gate(hh.reshape(-1, d * d, d * d)).reshape(ly, lx - 1, d, d, d, d)
-    gate_v = make_gate(hv.reshape(-1, d * d, d * d)).reshape(ly - 1, lx, d, d, d, d)
+    gate_h = make_gate(hh.reshape(-1, d * d, d * d)).reshape(ly, nhx, d, d, d, d)
+    gate_v = make_gate(hv.reshape(-1, d * d, d * d)).reshape(nvy, lx, d, d, d, d)
     # vertical arrays are used through the transposed lattice: (y,x)->(x,y)
     hv_t = jnp.transpose(hv, (1, 0, 2, 3, 4, 5))
     gate_v_t = jnp.transpose(gate_v, (1, 0, 2, 3, 4, 5))
 
     trunc = params.trunc
-    sweep = jax.jit(lambda p: simple_update_sweep(p, gate_h, gate_v_t, hh, hv_t, trunc))
+    sweep_fn = simple_update_sweep_pbc if pbc else simple_update_sweep
+    sweep = jax.jit(lambda p: sweep_fn(p, gate_h, gate_v_t, hh, hv_t, trunc))
     history = []
     e_prev = None
     stall = 0

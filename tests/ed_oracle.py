@@ -155,3 +155,20 @@ def energy_of_tps(tps: np.ndarray, model: SquareLatticeModel,
     h = build_hamiltonian(model, ly, lx, periodic)
     nrm = np.vdot(psi, psi)
     return float(np.real(np.vdot(psi, h @ psi) / nrm))
+
+
+def energy_of_tps_pbc(tps: np.ndarray, model: SquareLatticeModel) -> float:
+    """Exact torus energy: amplitudes by brute-force PERIODIC contraction,
+    Hamiltonian with wrap bonds."""
+    import jax.numpy as jnp
+    from peps_tpu.tps import exact_contract_pbc, project
+    ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
+    n = ly * lx
+    psi = np.zeros(d ** n,
+                   dtype=np.complex128 if np.iscomplexobj(tps) else np.float64)
+    tps_j = jnp.asarray(tps)
+    for idx, cfg in enumerate(itertools.product(range(d), repeat=n)):
+        config = np.array(cfg).reshape(ly, lx)
+        psi[idx] = exact_contract_pbc(np.asarray(project(tps_j, jnp.asarray(config))))
+    h = build_hamiltonian(model, ly, lx, periodic=True)
+    return float(np.real(np.vdot(psi, h @ psi) / np.vdot(psi, psi)))
