@@ -238,7 +238,10 @@ def _pbc_bond_groups(l: int):
     if l % 2 == 0:
         groups = [tuple(range(0, l, 2)), tuple(range(1, l, 2))]
     else:
-        groups = [tuple(range(0, l - 1, 2)), tuple(range(1, l - 2, 2)),
+        # Bonds 1,3,...,l-2 stay site-disjoint ((1,2),(3,4),... never touch
+        # site 0 or l-1, which only groups 1 and 3 use) and together the
+        # three groups cover all l ring bonds.
+        groups = [tuple(range(0, l - 1, 2)), tuple(range(1, l - 1, 2)),
                   (l - 1,)]
     return [g for g in groups if g]
 
@@ -288,9 +291,9 @@ def simple_update_sweep_pbc(peps: PEPS, gate_h: jnp.ndarray, gate_v: jnp.ndarray
                             h_bond_h: jnp.ndarray, h_bond_v: jnp.ndarray,
                             trunc: TruncParams):
     """One full torus sweep: ring-bond groups on columns, then (through the
-    transposed lattice) on rows. Same second-order checkerboard
-    Trotterization as :func:`simple_update_sweep`, with the wrap bonds in
-    their own group on odd rings."""
+    transposed lattice) on rows. First-order Trotterization per step (the
+    group order is not palindromic), same as :func:`simple_update_sweep`,
+    with the wrap bonds in their own group on odd rings."""
     lx, ly = peps.lx, peps.ly
     e_sum = jnp.zeros((), peps.gammas.real.dtype)
     log_norm = jnp.zeros((), peps.gammas.real.dtype)

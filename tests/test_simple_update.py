@@ -108,6 +108,40 @@ def test_pbc_heisenberg_su_energy():
     assert abs(e_true - e_ed) < tol * abs(e_ed), (e_true, e_ed)
 
 
+@pytest.mark.parametrize("l", [2, 3, 4, 5, 6, 7])
+def test_pbc_bond_groups_cover_all_bonds(l):
+    """Every ring bond appears in exactly one group and every group is
+    site-disjoint (regression for the odd-ring schedule dropping bond
+    l-2: lambdas on that bond stayed frozen at one-hot)."""
+    from peps_tpu.peps import _pbc_bond_groups
+    groups = _pbc_bond_groups(l)
+    bonds = [x for g in groups for x in g]
+    assert sorted(bonds) == list(range(l))
+    for g in groups:
+        sites = [s for x in g for s in (x, (x + 1) % l)]
+        assert len(sites) == len(set(sites)), (l, g)
+
+
+def test_pbc_su_odd_ring_builds_entanglement():
+    """On a 3x3 Heisenberg torus every bond lambda must leave one-hot
+    after SU — with the dropped-bond schedule bug, lam_h[:, 2] and
+    lam_v[2, :] stayed exactly one-hot forever."""
+    from peps_tpu.peps import product_peps_pbc
+    ly = lx = 3
+    D = 3
+    model = spin.heisenberg(1.0)
+    peps = product_peps_pbc(ly, lx, D, neel_occupancy(ly, lx), 2,
+                            dtype=jnp.float64)
+    res = simple_update(peps, model.h_h, model.h_v,
+                        SimpleUpdateParams(steps=60, tau=0.1,
+                                           trunc=TruncParams(D, 1, 1e-12)))
+    lam_h = np.asarray(res.peps.lam_h)
+    lam_v = np.asarray(res.peps.lam_v)
+    # second singular value > 0 on EVERY bond (one-hot means it is 0)
+    assert float(np.min(lam_h[:, :, 1])) > 1e-3, lam_h[:, :, 1]
+    assert float(np.min(lam_v[:, :, 1])) > 1e-3, lam_v[:, :, 1]
+
+
 @pytest.mark.parametrize("ly,lx,tol", [(2, 4, 3e-2), (3, 3, 3e-2)])
 def test_pbc_su_tfim_with_site_fields(ly, lx, tol):
     """PBC SU with the uniform-coordination site folding (z=4 on a torus).
