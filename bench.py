@@ -81,47 +81,35 @@ def _cost(fn, *args):
         return float("nan"), float("nan")
 
 
-def main():
+def _su_tps(ly, lx, D, su_steps):
+    """Physical initial state: short simple update (random states at this
+    size are pathologically conditioned)."""
     import numpy as np
-
-    from peps_tpu.algorithm.energy import ModelTensors, local_energy_and_holes
-    from peps_tpu.algorithm.mc_evaluator import _mc_collect
-    from peps_tpu.lattice import transpose_tps
     from peps_tpu.linalg import TruncParams
     from peps_tpu.models import spin
-    from peps_tpu.montecarlo.engine import init_configs_occupancy
-    from peps_tpu.montecarlo.sweep import UpdateRule, mc_sweep
-    from peps_tpu.optimizer.cg import CGParams, cg_solve
     from peps_tpu.peps import (SimpleUpdateParams, product_peps,
                                simple_update, to_tps)
-
-    # physical initial state: short simple update (random states at this
-    # size are pathologically conditioned)
     model_su = spin.heisenberg(1.0)
-    occ = np.indices((LY, LX)).sum(0) % 2
-    peps0 = product_peps(LY, LX, D, occ, 2, dtype=DTYPE)
+    occ = np.indices((ly, lx)).sum(0) % 2
+    peps0 = product_peps(ly, lx, D, occ, 2, dtype=DTYPE)
     su = simple_update(peps0, model_su.h_h, model_su.h_v,
-                       SimpleUpdateParams(steps=100, tau=0.1,
+                       SimpleUpdateParams(steps=su_steps, tau=0.1,
                                           trunc=TruncParams(D, 1, 1e-8)))
     tps = to_tps(su.peps)
-    tps = tps / jnp.max(jnp.abs(tps))
-    tps_t = transpose_tps(tps)
-    n = LY * LX
-    model = ModelTensors.from_model(spin.heisenberg(1.0), DTYPE)
-    trunc = TruncParams(CHI, 1, 1e-6, scheme="sketch")
-    rule = UpdateRule("exchange")
-    diag_shift = 1e-3
-    lr = 0.05
+    return tps / jnp.max(jnp.abs(tps))
 
-    def make_configs(nch):
-        return init_configs_occupancy(jax.random.PRNGKey(1), nch, LY, LX,
-                                      {0: n // 2, 1: n - n // 2})
+
+def _make_train_step(model, chi, trunc, rule, diag_shift=1e-3, lr=0.05,
+                     eval_chunk=8):
+    """Sweep + energy/holes + SR CG + update (one optimizer iter)."""
+    from peps_tpu.algorithm.mc_evaluator import _mc_collect
+    from peps_tpu.optimizer.cg import CGParams, cg_solve
 
     def train_step(tps, configs, key):
-        """Sweep + energy/holes + SR CG + update (one optimizer iter)."""
         cfgs, key, acc, tri, outs = _mc_collect(
-            tps, configs, key, model, CHI, trunc, rule,
-            n_samples=1, sweeps_between=1, with_sr=True, eval_chunk=8)
+            tps, configs, key, model, chi, trunc, rule,
+            n_samples=1, sweeps_between=1, with_sr=True,
+            eval_chunk=eval_chunk)
         e_locs, o_full, _, _, _ = outs
         ns = e_locs.size
         energy = jnp.mean(jnp.real(e_locs))
@@ -140,6 +128,28 @@ def main():
         new_tps = new_tps / jnp.max(jnp.abs(new_tps))
         return new_tps, cfgs, key, energy
 
+    return train_step
+
+
+def _train_metrics(ly, lx, D, chi, nchains, su_steps=60, n_steps=4):
+    """Full-train-step throughput + roofline accounting at one config.
+    Returns (metrics dict, final tps, final configs)."""
+    import numpy as np
+    from peps_tpu.algorithm.energy import ModelTensors
+    from peps_tpu.linalg import TruncParams
+    from peps_tpu.models import spin
+    from peps_tpu.montecarlo.engine import init_configs_occupancy
+    from peps_tpu.montecarlo.sweep import UpdateRule
+
+    tps = _su_tps(ly, lx, D, su_steps)
+    n = ly * lx
+    model = ModelTensors.from_model(spin.heisenberg(1.0), DTYPE)
+    trunc = TruncParams(chi, 1, 1e-6, scheme="sketch")
+    rule = UpdateRule("exchange")
+    configs = init_configs_occupancy(jax.random.PRNGKey(1), nchains, ly, lx,
+                                     {0: n // 2, 1: n - n // 2})
+    train_step = _make_train_step(model, chi, trunc, rule)
+
     def run_steps(tps, configs, key, k):
         def body(carry, _):
             tps, configs, key = carry
@@ -149,10 +159,7 @@ def main():
                                                None, length=k)
         return es[-1], configs
 
-    # ---- headline: full train step at 32 chains ----
-    configs = make_configs(NCHAINS)
     f = jax.jit(run_steps, static_argnames=("k",))
-    n_steps = 4
     e, cfgs = f(tps, configs, jax.random.PRNGKey(2), n_steps)
     _sync(e, cfgs)
     t0 = time.time()
@@ -161,11 +168,59 @@ def main():
     dt = time.time() - t0
     assert np.isfinite(e_host), f"training-step energy not finite: {e}"
     steps_per_sec = n_steps / dt
-    samples_per_sec = steps_per_sec * NCHAINS
-
     flops, bytes_ = _cost(train_step, tps, configs, jax.random.PRNGKey(4))
-    mfu = flops * steps_per_sec / PEAK_BF16
-    mbu = bytes_ * steps_per_sec / PEAK_HBM
+    metrics = {
+        "config": f"{ly}x{lx} D={D} chi={chi}, {nchains} chains",
+        "steps_per_sec": round(steps_per_sec, 4),
+        "samples_per_sec": round(steps_per_sec * nchains, 2),
+        "flops_per_step": flops,
+        "bytes_per_step": bytes_,
+        "mfu_bf16": round(flops * steps_per_sec / PEAK_BF16, 5),
+        "mbu_hbm": round(bytes_ * steps_per_sec / PEAK_HBM, 4),
+    }
+    return metrics, tps, cfgs
+
+
+def main():
+    import numpy as np
+
+    from peps_tpu.algorithm.energy import ModelTensors, local_energy_and_holes
+    from peps_tpu.lattice import transpose_tps
+    from peps_tpu.linalg import TruncParams
+    from peps_tpu.models import spin
+    from peps_tpu.montecarlo.engine import init_configs_occupancy
+    from peps_tpu.montecarlo.sweep import UpdateRule, mc_sweep
+
+    # ---- headline: full train step at 32 chains, north-star config ----
+    head, tps, cfgs = _train_metrics(LY, LX, D, CHI, NCHAINS, su_steps=100)
+    steps_per_sec = head["steps_per_sec"]
+    samples_per_sec = head["samples_per_sec"]
+    flops, bytes_ = head["flops_per_step"], head["bytes_per_step"]
+    mfu, mbu = head["mfu_bf16"], head["mbu_hbm"]
+
+    # ---- MFU-vs-size curve (VERDICT r3 #1): does utilization climb with
+    # (L, D, chi)? The README sweep table already runs these sizes; this
+    # adds the train-step roofline accounting at each.
+    mfu_by_config = [head]
+    for (ly2, lx2, d2, chi2) in ((12, 12, 10, 40), (16, 16, 12, 48)):
+        try:
+            m2, _, _ = _train_metrics(ly2, lx2, d2, chi2, NCHAINS,
+                                      su_steps=30, n_steps=2)
+            mfu_by_config.append(m2)
+        except Exception as ex:            # keep the headline alive
+            mfu_by_config.append({
+                "config": f"{ly2}x{lx2} D={d2} chi={chi2}",
+                "error": str(ex)[:200]})
+
+    n = LY * LX
+    trunc = TruncParams(CHI, 1, 1e-6, scheme="sketch")
+    rule = UpdateRule("exchange")
+    model = ModelTensors.from_model(spin.heisenberg(1.0), DTYPE)
+    tps_t = transpose_tps(tps)
+
+    def make_configs(nch):
+        return init_configs_occupancy(jax.random.PRNGKey(1), nch, LY, LX,
+                                      {0: n // 2, 1: n - n // 2})
 
     # ---- sweep-only throughput (round-1 metric) + chains scaling ----
     def sweep_k(configs, key, k):
@@ -242,6 +297,7 @@ def main():
         "bytes_per_step": bytes_,
         "mfu_bf16": round(mfu, 5),
         "mbu_hbm": round(mbu, 4),
+        "mfu_by_config": mfu_by_config,
         "graded_tj_6x6_D8": graded,
         "accuracy_rel_diff_sketch_vs_svd": round(acc_rel, 8),
         "accuracy_nonfinite_configs": n_bad,
@@ -348,15 +404,35 @@ def _device_alive(timeout_s: int = 150) -> bool:
         return False
 
 
+def _device_alive_with_retry() -> bool:
+    """Retry the probe with backoff (~12 min total) so a transient tunnel
+    outage cannot zero a round's bench artifact (it did in round 3)."""
+    import os
+    import sys
+    waits = (30, 60, 120, 240, 240)
+    if _device_alive():
+        return True
+    if os.environ.get("BENCH_NO_RETRY"):
+        return False
+    for i, w in enumerate(waits):
+        print(f"device probe failed; retry {i + 1}/{len(waits)} "
+              f"in {w}s", file=sys.stderr, flush=True)
+        time.sleep(w)
+        if _device_alive():
+            return True
+    return False
+
+
 if __name__ == "__main__":
-    if not _device_alive():
+    if not _device_alive_with_retry():
         print(json.dumps({
             "metric": "vmc_full_train_steps_per_sec",
             "value": 0.0,
             "unit": "steps/sec/chip",
             "vs_baseline": 0.0,
             "error": "device backend unreachable (axon TPU tunnel worker "
-                     "down; first device op hangs). Last measured values "
-                     "are recorded in README.md 'Benchmark'."}))
+                     "down; first device op hangs; retried with backoff "
+                     "for ~12 min). Last measured values are recorded in "
+                     "README.md 'Benchmark' and BENCH-local runs."}))
         raise SystemExit(0)
     main()

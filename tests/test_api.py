@@ -1,3 +1,4 @@
+import pytest
 """Public API surface imports and exposes everything advertised."""
 import jax
 import jax.numpy as jnp
@@ -6,6 +7,7 @@ import numpy as np
 from peps_tpu import api
 
 
+@pytest.mark.smoke
 def test_api_surface():
     for name in api.__all__:
         assert hasattr(api, name), name

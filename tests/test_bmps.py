@@ -63,6 +63,7 @@ def test_row_trace_consistency(dtype):
             assert np.abs(got - exact) < 1e-8 * abs(exact), (y, x)
 
 
+@pytest.mark.smoke
 @pytest.mark.parametrize("dtype", DTYPES)
 def test_punch_hole_is_site_derivative(dtype):
     """hole[y,x] contracted with the site tensor must give psi; and it must

@@ -98,6 +98,7 @@ def test_spinless_3x3_projection_matches_exact():
     check_model(spinless_fermion(1.0), 3, 3, 2, seed=1)
 
 
+@pytest.mark.smoke
 def test_tj_projection_matches_exact():
     check_model(tj_model(3.0, 1.0), 2, 3, 4, seed=2, max_cfg=150)
 

@@ -174,6 +174,7 @@ def _sector_energy(model, ly, lx, v, occ0):
     return e, e_ed
 
 
+@pytest.mark.smoke
 def test_su_spinless_converges_to_sector_ed():
     model = spinless_fermion(1.0, 0.5)
     ly, lx, D = 2, 3, 4

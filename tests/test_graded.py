@@ -57,6 +57,7 @@ def test_gcontract_schedule_independence_chain():
                                atol=1e-13)
 
 
+@pytest.mark.smoke
 def test_gcontract_network_schedule_independence():
     """A 2x2 ring of even tensors contracts to the same scalar regardless of
     schedule (pairwise orders differ -> different Koszul sign paths)."""

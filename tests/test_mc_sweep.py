@@ -52,6 +52,7 @@ def test_exchange_stationary_distribution():
     assert np.max(np.abs(emp - probs)) < 0.02, (emp, probs)
 
 
+@pytest.mark.smoke
 @pytest.mark.slow
 def test_suwa_todo_stationary_distribution():
     key = jax.random.PRNGKey(3)
@@ -65,6 +66,7 @@ def test_suwa_todo_stationary_distribution():
     assert np.max(np.abs(emp - probs)) < 0.02, (emp, probs)
 
 
+@pytest.mark.smoke
 def test_exchange_conserves_occupancy():
     key = jax.random.PRNGKey(7)
     tps = random_tps(key, 3, 3, 2, 2, dtype=jnp.float64, scale=0.9)

@@ -45,6 +45,7 @@ def _dense_expectations(tps):
     return sz_site, spsm
 
 
+@pytest.mark.smoke
 def test_exact_measure_matches_dense_operators():
     tps = random_tps(jax.random.PRNGKey(2), LY, LX, 2, 3,
                      dtype=jnp.float64, scale=0.8)

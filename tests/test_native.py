@@ -23,6 +23,7 @@ def test_sector_enumeration_matches_python():
                           np.sort(want.reshape(len(want), -1), axis=0))
 
 
+@pytest.mark.smoke
 def test_binned_stats_match():
     rng = np.random.default_rng(0)
     x = rng.normal(size=(400, 8)) + 3.0

@@ -51,6 +51,7 @@ def make_eval(mt, configs, with_sr):
     return evaluate
 
 
+@pytest.mark.smoke
 def test_sr_reaches_ed_energy():
     mt, e_ed, tps, configs = setup()
     params = opt.OptimizerParams(

@@ -189,6 +189,7 @@ def test_pbc_vmc_sr_reaches_ed():
         (result.lowest_energy, e_ed)
 
 
+@pytest.mark.smoke
 @pytest.mark.fast
 def test_pbc_3x3_amplitude_vs_brute_force():
     """3 = 3*2^0: the triple-column coarse-graining step against a brute

@@ -42,6 +42,7 @@ def _sector_indices(d, n, predicate):
                      if predicate(np.array(cfg))])
 
 
+@pytest.mark.smoke
 def test_heisenberg_obc_3x4_anchor():
     e = ground_energy(heisenberg(1.0), 4, 3)
     assert abs(e - (-6.691680193514947)) < 1e-10

@@ -85,6 +85,7 @@ def test_sharded_sweep_matches_single_device(mesh):
     np.testing.assert_array_equal(np.asarray(ref_acc), np.asarray(sh_acc))
 
 
+@pytest.mark.smoke
 def test_sharded_sr_cg_matvec_matches_dense(mesh):
     """SR natural gradient: CG on the matrix-free S@v = A^H(A v) + shift v
     with the sample rows of A sharded over 8 devices must agree with a dense

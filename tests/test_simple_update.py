@@ -108,6 +108,7 @@ def test_pbc_heisenberg_su_energy():
     assert abs(e_true - e_ed) < tol * abs(e_ed), (e_true, e_ed)
 
 
+@pytest.mark.smoke
 @pytest.mark.parametrize("l", [2, 3, 4, 5, 6, 7])
 def test_pbc_bond_groups_cover_all_bonds(l):
     """Every ring bond appears in exactly one group and every group is

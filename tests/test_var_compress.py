@@ -56,6 +56,7 @@ def test_amplitude_with_variational_scheme_exact():
     assert abs(got - want) < 1e-8 * max(1.0, abs(want))
 
 
+@pytest.mark.smoke
 @pytest.mark.fast
 def test_sketch_scheme_amplitude_accuracy():
     """Randomized two-sided (Nystrom) compression: near-exact when chi covers
