@@ -22,8 +22,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def chains_mesh(n_devices: int | None = None) -> Mesh:
-    devs = jax.devices()
+def chains_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    devs = list(devices) if devices is not None else jax.devices()
     if n_devices is not None:
         if len(devs) < n_devices:
             raise RuntimeError(
