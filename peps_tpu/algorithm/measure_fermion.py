@@ -73,9 +73,15 @@ def _pair_corr_frame(tps_f, config_f, occ_s, chi: int, trunc: TruncParams,
     in-frame position (r, i) is r*stride_row + i*stride_pos; the bond at
     (r, i) pairs it with (r, i+1) i.e. flat offset +stride_pos.
 
-    Returns [Nrows_f, Nb, Nb] with Nb = frame row length - 1; entry (r,i,k)
-    estimates <Delta^dag_{bond i} Delta_{bond k}> (zero unless k > i+1 and
-    the sample supports the transition)."""
+    Returns [Nrows_f, Nb, Nb] with Nb = frame row length - 1; entry (r,a,b)
+    estimates <Delta^dag_{bond a} Delta_{bond b}>, supported when the sample
+    carries the singlet pair at bond a and the two holes at bond b (zero
+    unless |a-b| > 1). Upper triangle (a < b): pair left of the holes;
+    lower triangle (a > b): pair right of the holes — BOTH orientations of
+    each rare two-adjacent-holes configuration contribute, doubling the
+    estimator's support (reference mixin collects one orientation;
+    hermiticity <Dag_a D_b> = conj(<Dag_b D_a>) is what the distance-decay
+    aggregation relies on)."""
     ly, lx, d = tps_f.shape[0], tps_f.shape[1], tps_f.shape[2]
     tn = project(tps_f, config_f)
     stacks = bmps.all_env_stacks(tn, chi, trunc)
@@ -97,17 +103,34 @@ def _pair_corr_frame(tps_f, config_f, occ_s, chi: int, trunc: TruncParams,
         bp_valid = (c1 == empty) & (c2 == empty)
 
         def for_i(i):
-            # excited walker: replace cols i, i+1 by the EMPTY local state
-            e0_cand = cands[i][empty]
-            e1_cand = cands[i + 1][empty]
-            e = bmps._col_transfer_left(envs.lefts[i], top[i], e0_cand, bot[i])
-            e = bmps._col_transfer_left(e, top[i + 1], e1_cand, bot[i + 1])
+            def start_env(s0, s1):
+                e = bmps._col_transfer_left(envs.lefts[i], top[i],
+                                            cands[i][s0], bot[i])
+                return bmps._col_transfer_left(e, top[i + 1],
+                                               cands[i + 1][s1], bot[i + 1])
+
+            # orientation A walker: cols i, i+1 replaced by EMPTY (the pair
+            # in the sample is annihilated at bond i, created at bond k)
+            e_a = start_env(empty, empty)
+            # orientation B walkers: cols i, i+1 replaced by the CREATED
+            # pair, one per singlet channel (the sample's pair at bond k is
+            # annihilated, holes at bond i filled)
+            e_ud = start_env(1, 2)
+            e_du = start_env(2, 1)
+
+            # psi reference in the same env frame: lefts[i] .. rights[i+2]
+            # (loop-invariant over k)
+            cpair = bmps._col_transfer_left(envs.lefts[i], top[i],
+                                            row[i], bot[i])
+            cpair = bmps._col_transfer_left(cpair, top[i + 1],
+                                            row[i + 1], bot[i + 1])
+            psi_ref = jnp.einsum("alc,alc->", cpair, envs.rights[i + 2])
+            safe = jnp.where(psi_ref == 0, 1.0, psi_ref)
 
             def scan_k(carry, k):
-                e = carry
-                # close with cols k, k+1 replaced by (sigma', sbar') for both
-                # channels sigma' in {up, dn} -> local states (1,2) and (2,1)
-                def close(state1, state2):
+                e_a, e_ud, e_du = carry
+
+                def close(e, state1, state2):
                     c = bmps._col_transfer_left(e, top[k], cands[k][state1],
                                                 bot[k])
                     c = bmps._col_transfer_left(c, top[k + 1],
@@ -116,15 +139,10 @@ def _pair_corr_frame(tps_f, config_f, occ_s, chi: int, trunc: TruncParams,
                     val = jnp.einsum("alc,alc->", c, envs.rights[k + 2])
                     return val * jnp.exp(envs.log_rights[k + 2]
                                          - envs.log_rights[i + 2])
-                amp_ud = close(1, 2)
-                amp_du = close(2, 1)
-
-                # psi reference in the same env frame: lefts[i] .. rights[i+2]
-                cpair = bmps._col_transfer_left(envs.lefts[i], top[i],
-                                                row[i], bot[i])
-                cpair = bmps._col_transfer_left(cpair, top[i + 1],
-                                                row[i + 1], bot[i + 1])
-                psi_ref = jnp.einsum("alc,alc->", cpair, envs.rights[i + 2])
+                amp_ud = close(e_a, 1, 2)
+                amp_du = close(e_a, 2, 1)
+                amp_ud_rev = close(e_ud, empty, empty)
+                amp_du_rev = close(e_du, empty, empty)
 
                 # fermionic signs for each channel via parity counting on the
                 # ORIGINAL row-major mode order
@@ -133,25 +151,27 @@ def _pair_corr_frame(tps_f, config_f, occ_s, chi: int, trunc: TruncParams,
                 site_k = r * stride_row + k * stride_pos
                 site_l = site_k + stride_pos
 
-                # occ(s'): s with b emptied and b' filled per channel
-                def occ_sprime(up_first):
+                # occ(s'): pair bond emptied, hole bond filled per channel.
+                # Orientation A: pair at (i,j) -> holes, pair created (k,l);
+                # orientation B: the mirror.
+                def occ_sprime(up_first, pair_at_start):
+                    sp, sq = jnp.where(pair_at_start, site_i, site_k), \
+                        jnp.where(pair_at_start, site_j, site_l)
+                    hp, hq = jnp.where(pair_at_start, site_k, site_i), \
+                        jnp.where(pair_at_start, site_l, site_j)
                     occ = occ_s
-                    occ = occ.at[2 * site_i + 0].set(0)
-                    occ = occ.at[2 * site_i + 1].set(0)
-                    occ = occ.at[2 * site_j + 0].set(0)
-                    occ = occ.at[2 * site_j + 1].set(0)
-                    occ = occ.at[2 * site_k + 0].set(
-                        jnp.where(up_first, 1, 0))
-                    occ = occ.at[2 * site_k + 1].set(
-                        jnp.where(up_first, 0, 1))
-                    occ = occ.at[2 * site_l + 0].set(
-                        jnp.where(up_first, 0, 1))
-                    occ = occ.at[2 * site_l + 1].set(
-                        jnp.where(up_first, 1, 0))
+                    occ = occ.at[2 * sp + 0].set(0)
+                    occ = occ.at[2 * sp + 1].set(0)
+                    occ = occ.at[2 * sq + 0].set(0)
+                    occ = occ.at[2 * sq + 1].set(0)
+                    occ = occ.at[2 * hp + 0].set(jnp.where(up_first, 1, 0))
+                    occ = occ.at[2 * hp + 1].set(jnp.where(up_first, 0, 1))
+                    occ = occ.at[2 * hq + 0].set(jnp.where(up_first, 0, 1))
+                    occ = occ.at[2 * hq + 1].set(jnp.where(up_first, 1, 0))
                     return occ
 
                 def chan(amp, up_first, sb):
-                    occp = occ_sprime(jnp.asarray(up_first))
+                    occp = occ_sprime(jnp.asarray(up_first), True)
                     sgn = _pair_op_sign(occp, site_i, site_j,
                                         site_k, site_l, sa[i], sb)
                     # singlet coefficients: -1 for the (dn,up) members
@@ -159,18 +179,39 @@ def _pair_corr_frame(tps_f, config_f, occ_s, chi: int, trunc: TruncParams,
                     coef_b = jnp.where(sb == 0, 1.0, -1.0)
                     return 0.5 * coef_a * coef_b * sgn * amp
 
+                def chan_rev(amp, up_first, sb):
+                    # <Delta^dag_k Delta_i>: annihilated pair channel is the
+                    # sample's pair at bond k (sa[k]); created channel sb at
+                    # bond i
+                    occp = occ_sprime(jnp.asarray(up_first), False)
+                    sgn = _pair_op_sign(occp, site_k, site_l,
+                                        site_i, site_j, sa[k], sb)
+                    coef_a = jnp.where(sa[k] == 0, 1.0, -1.0)
+                    coef_b = jnp.where(sb == 0, 1.0, -1.0)
+                    return 0.5 * coef_a * coef_b * sgn * amp
+
                 val = chan(amp_ud, True, 0) + chan(amp_du, False, 1)
                 valid = b_valid[i] & bp_valid[k] & (k > i + 1)
-                safe = jnp.where(psi_ref == 0, 1.0, psi_ref)
                 out = jnp.where(valid, val / safe, 0.0)
-                e_next = bmps._col_transfer_left(e, top[k], row[k], bot[k])
-                e_next = jnp.where(k > i + 1, e_next, e)
-                return e_next, out
 
-            _, vals = jax.lax.scan(scan_k, e, jnp.arange(nb))
-            return vals
+                val_rev = chan_rev(amp_ud_rev, True, 0) \
+                    + chan_rev(amp_du_rev, False, 1)
+                valid_rev = bp_valid[i] & b_valid[k] & (k > i + 1)
+                out_rev = jnp.where(valid_rev, val_rev / safe, 0.0)
 
-        return jax.vmap(for_i)(jnp.arange(nb))
+                def prop(e):
+                    nxt = bmps._col_transfer_left(e, top[k], row[k], bot[k])
+                    return jnp.where(k > i + 1, nxt, e)
+
+                return (prop(e_a), prop(e_ud), prop(e_du)), (out, out_rev)
+
+            _, (vals, vals_rev) = jax.lax.scan(scan_k, (e_a, e_ud, e_du),
+                                               jnp.arange(nb))
+            return vals, vals_rev
+
+        vals, vals_rev = jax.vmap(for_i)(jnp.arange(nb))
+        # orientation B estimates <Dag_k D_i> -> entry (k, i): lower triangle
+        return vals + vals_rev.T
 
     return jax.vmap(per_row)(stacks.tops[:ly], stacks.bots[1:], tn, tps_f,
                              config_f, jnp.arange(ly))
@@ -179,7 +220,9 @@ def _pair_corr_frame(tps_f, config_f, occ_s, chi: int, trunc: TruncParams,
 def tj_singlet_pair_corr_row(tps, config, chi: int, trunc: TruncParams):
     """<Delta^dag_{(y,i)} Delta_{(y,k)}> estimator table [Ly, Lx-1, Lx-1]
     (horizontal bonds at columns i and k of the same row; zero unless
-    k > i+1 and the sample supports the transition)."""
+    |i-k| > 1 and the sample supports the transition — entry (i,k) is
+    supported when the pair sits at bond i and the holes at bond k, in
+    EITHER order of i and k)."""
     lx = tps.shape[1]
     occ_s = _occ_vector(config, lx)
     return _pair_corr_frame(tps, config, occ_s, chi, trunc,
@@ -243,14 +286,18 @@ def tj_singlet_pair_corr_graded(tps, config, space, chi: int,
     flat = (r_idx.reshape(-1), i_idx.reshape(-1), k_idx.reshape(-1),
             ch_idx.reshape(-1))
 
-    def one(r, i, k, ch):
-        (y1, x1), (y2, x2) = sites(r, i)
-        (y3, x3), (y4, x4) = sites(r, k)
+    def one(r, a, b, ch):
+        """Entry (a, b) = <Delta^dag_a Delta_b>, channel ch of the created
+        pair. Supported when the sample has the pair at bond a and holes at
+        bond b, for BOTH orderings of (a, b) (|a-b| > 1)."""
+        (y1, x1), (y2, x2) = sites(r, a)     # pair bond (annihilated in s)
+        (y3, x3), (y4, x4) = sites(r, b)     # hole bond (pair created)
         c_i, c_j = config[y1, x1], config[y2, x2]
         c_k, c_l = config[y3, x3], config[y4, x4]
         pair_ud = (c_i == 1) & (c_j == 2)
         pair_du = (c_i == 2) & (c_j == 1)
-        valid = (pair_ud | pair_du) & (c_k == 0) & (c_l == 0) & (k > i + 1)
+        gap = jnp.abs(a - b) > 1
+        valid = (pair_ud | pair_du) & (c_k == 0) & (c_l == 0) & gap
         sa = jnp.where(pair_du, 1, 0)
         # channel ch: 0 -> (up, dn) at b', 1 -> (dn, up)
         s1 = jnp.where(ch == 0, 1, 2)
@@ -421,10 +468,12 @@ def tj_singlet_pair_corr_graded_colshared(tps, config, space, chi: int,
         return row.transpose(0, 3, 2, 1, 4)     # (u,l,d,r) -> (d,l,u,r)
 
     # excited bottoms: bots[k+2] <- modified row k+1 <- modified row k,
-    # per (x, k, channel). Channel 0 -> (up, dn) at b', 1 -> (dn, up).
+    # per (x, k, channel). Channel 0 -> (up, dn) at b', 1 -> (dn, up),
+    # 2 -> (empty, empty) (the orientation-B close: the sample's pair at
+    # bond k is annihilated).
     def build_ebot(x, k, ch):
-        s1 = jnp.where(ch == 0, 1, 2)
-        s2 = jnp.where(ch == 0, 2, 1)
+        s1 = jnp.where(ch == 0, 1, jnp.where(ch == 1, 2, 0))
+        s2 = jnp.where(ch == 0, 2, jnp.where(ch == 1, 1, 0))
         row_a, row_b = mod_rows(k, x, s1, s2)
         b = jnp.take(stacks.bots, k + 2, axis=0)
         lb = jnp.take(stacks.log_bots, k + 2)
@@ -435,43 +484,60 @@ def tj_singlet_pair_corr_graded_colshared(tps, config, space, chi: int,
     ebots, log_ebots = jax.vmap(
         lambda x: jax.vmap(
             lambda k: jax.vmap(lambda ch: build_ebot(x, k, ch))(
-                jnp.arange(2)))(jnp.arange(nb)))(cols)
-    # ebots: [Lx, nb, 2, Lx, chi, D, chi]; log_ebots: [Lx, nb, 2]
+                jnp.arange(3)))(jnp.arange(nb)))(cols)
+    # ebots: [Lx, nb, 3, Lx, chi, D, chi]; log_ebots: [Lx, nb, 3]
 
     empty = 0
 
     def lane(x, i):
-        """All entries (i, k) for start bond (i, x): [nb, 2]-channel sums."""
-        row_a, row_b = mod_rows(i, x, empty, empty)
-        t = jnp.take(stacks.tops, i, axis=0)
-        lt = jnp.take(stacks.log_tops, i)
-        r1 = bmps.absorb_row(t, row_a, chi, trunc)
-        r2 = bmps.absorb_row(r1.bmps, row_b, chi, trunc)
-        ex_init, lex_init = r2.bmps, lt + r1.log_norm + r2.log_norm
-        eb_x = ebots[x]                     # [nb, 2, Lx, chi, D, chi]
+        """All entries (i, k) for start bond (i, x), both orientations:
+        returns ([nb] orientation-A sums, [nb] orientation-B sums)."""
+        def start_top(s1, s2):
+            row_a, row_b = mod_rows(i, x, s1, s2)
+            t = jnp.take(stacks.tops, i, axis=0)
+            lt = jnp.take(stacks.log_tops, i)
+            r1 = bmps.absorb_row(t, row_a, chi, trunc)
+            r2 = bmps.absorb_row(r1.bmps, row_b, chi, trunc)
+            return r2.bmps, lt + r1.log_norm + r2.log_norm
+
+        ex_init = (start_top(empty, empty),   # orientation A: pair at i out
+                   start_top(1, 2),           # orientation B channels:
+                   start_top(2, 1))           # pair created at bond i
+        eb_x = ebots[x]                     # [nb, 3, Lx, chi, D, chi]
         leb_x = log_ebots[x]
 
         def scan_k(carry, k):
-            ex, lex = carry
+            (ex_a, lex_a), (ex_ud, lex_ud), (ex_du, lex_du) = carry
 
-            def close(ch):
+            def ratio_of(ex, lex, ch):
                 mant, lov = _bmps_overlap(ex, eb_x[k, ch])
                 la = jnp.log(jnp.maximum(jnp.abs(mant),
                                          jnp.finfo(rdt).tiny)) \
                     + lov + lex + leb_x[k, ch]
-                ratio = phase(mant) * inv_ph0 * jnp.exp(
+                return phase(mant) * inv_ph0 * jnp.exp(
                     jnp.minimum(la - log_abs0, 60.0))
-                # operator sign in snake mode order on occ(s')
-                p_i, p_j = pos[i, x], pos[i + 1, x]
-                p_k, p_l = pos[k, x], pos[k + 1, x]
-                up_first = ch == 0
+
+            p_i, p_j = pos[i, x], pos[i + 1, x]
+            p_k, p_l = pos[k, x], pos[k + 1, x]
+
+            def occ_sprime(up_first, pair_at_start):
+                sp = jnp.where(pair_at_start, p_i, p_k)
+                sq = jnp.where(pair_at_start, p_j, p_l)
+                hp = jnp.where(pair_at_start, p_k, p_i)
+                hq = jnp.where(pair_at_start, p_l, p_j)
                 occ = occ_s
-                occ = occ.at[2 * p_i].set(0).at[2 * p_i + 1].set(0)
-                occ = occ.at[2 * p_j].set(0).at[2 * p_j + 1].set(0)
-                occ = occ.at[2 * p_k].set(jnp.where(up_first, 1, 0))
-                occ = occ.at[2 * p_k + 1].set(jnp.where(up_first, 0, 1))
-                occ = occ.at[2 * p_l].set(jnp.where(up_first, 0, 1))
-                occ = occ.at[2 * p_l + 1].set(jnp.where(up_first, 1, 0))
+                occ = occ.at[2 * sp].set(0).at[2 * sp + 1].set(0)
+                occ = occ.at[2 * sq].set(0).at[2 * sq + 1].set(0)
+                occ = occ.at[2 * hp].set(jnp.where(up_first, 1, 0))
+                occ = occ.at[2 * hp + 1].set(jnp.where(up_first, 0, 1))
+                occ = occ.at[2 * hq].set(jnp.where(up_first, 0, 1))
+                occ = occ.at[2 * hq + 1].set(jnp.where(up_first, 1, 0))
+                return occ
+
+            def close(ch):
+                ratio = ratio_of(ex_a, lex_a, ch)
+                up_first = ch == 0
+                occ = occ_sprime(jnp.asarray(up_first), True)
                 sgn = _pair_op_sign(occ, p_i, p_j, p_k, p_l, sa_tab[i, x],
                                     jnp.where(up_first, 0, 1))
                 coef_a = jnp.where(sa_tab[i, x] == 0, 1.0, -1.0)
@@ -479,24 +545,49 @@ def tj_singlet_pair_corr_graded_colshared(tps, config, space, chi: int,
                 return 0.5 * coef_a * coef_b * sgn.astype(ratio.dtype) \
                     * ratio
 
+            def close_rev(ex, lex, up_first, sb):
+                ratio = ratio_of(ex, lex, 2)
+                occ = occ_sprime(jnp.asarray(up_first), False)
+                sgn = _pair_op_sign(occ, p_k, p_l, p_i, p_j, sa_tab[k, x],
+                                    sb)
+                coef_a = jnp.where(sa_tab[k, x] == 0, 1.0, -1.0)
+                coef_b = jnp.where(sb == 0, 1.0, -1.0)
+                return 0.5 * coef_a * coef_b * sgn.astype(ratio.dtype) \
+                    * ratio
+
             val = close(0) + close(1)
             valid = b_valid[i, x] & bp_valid[k, x] & (k > i + 1)
             out = jnp.where(valid, jnp.real(val), 0.0)
+
+            val_rev = close_rev(ex_ud, lex_ud, True, 0) \
+                + close_rev(ex_du, lex_du, False, 1)
+            valid_rev = bp_valid[i, x] & b_valid[k, x] & (k > i + 1)
+            out_rev = jnp.where(valid_rev, jnp.real(val_rev), 0.0)
+
             # propagate: ex(k+1) absorbs plain row k; at k = i+1 the carry
             # is REPLACED by the precomputed modified-rows absorption (the
             # pre-(i+2) carry is a dummy recomputation of the top stack)
-            res = bmps.absorb_row(ex, jnp.take(net, k, axis=0), chi, trunc)
-            ex_n = jnp.where(k == i + 1, ex_init, res.bmps)
-            lex_n = jnp.where(k == i + 1, lex_init, lex + res.log_norm)
-            return (ex_n, lex_n), out
+            def prop(ex, lex, init):
+                res = bmps.absorb_row(ex, jnp.take(net, k, axis=0), chi,
+                                      trunc)
+                ex_n = jnp.where(k == i + 1, init[0], res.bmps)
+                lex_n = jnp.where(k == i + 1, init[1], lex + res.log_norm)
+                return ex_n, lex_n
 
-        init = (stacks.tops[0], jnp.zeros((), rdt))
-        _, vals = jax.lax.scan(scan_k, init, jnp.arange(nb))
-        return vals
+            new_carry = (prop(ex_a, lex_a, ex_init[0]),
+                         prop(ex_ud, lex_ud, ex_init[1]),
+                         prop(ex_du, lex_du, ex_init[2]))
+            return new_carry, (out, out_rev)
+
+        dummy = (stacks.tops[0], jnp.zeros((), rdt))
+        _, (vals, vals_rev) = jax.lax.scan(scan_k, (dummy, dummy, dummy),
+                                           jnp.arange(nb))
+        return vals, vals_rev
 
     xi, ii = jnp.meshgrid(cols, jnp.arange(nb), indexing="ij")
-    table = jax.vmap(jax.vmap(lane))(xi, ii)     # [Lx, nb, nb]
-    return table
+    vals, vals_rev = jax.vmap(jax.vmap(lane))(xi, ii)   # each [Lx, nb, nb]
+    # orientation B estimates <Dag_k D_i> -> entry (k, i)
+    return vals + vals_rev.transpose(0, 2, 1)
 
 
 def tj_singlet_pair_corr_graded_rowshared(tps, config, space, chi: int,
@@ -552,11 +643,16 @@ def tj_singlet_pair_corr_graded_rowshared(tps, config, space, chi: int,
         bp_valid = (c1 == empty) & (c2 == empty)
 
         def for_i(i):
-            e = bmps._col_transfer_left(envs.lefts[i], top[i],
-                                        cand_row[i][empty, fa], bot[i])
-            e = bmps._col_transfer_left(e, top[i + 1],
-                                        cand_row[i + 1][empty, fb],
-                                        bot[i + 1])
+            def start_env(s0, s1):
+                e = bmps._col_transfer_left(envs.lefts[i], top[i],
+                                            cand_row[i][s0, fa], bot[i])
+                return bmps._col_transfer_left(e, top[i + 1],
+                                               cand_row[i + 1][s1, fb],
+                                               bot[i + 1])
+
+            e_a = start_env(empty, empty)       # orientation A: pair at i
+            e_ud = start_env(1, 2)              # orientation B channels:
+            e_du = start_env(2, 1)              # pair CREATED at bond i
             # reference amplitude at the start bond — invariant under the
             # scan over end bonds k, so computed once per i
             cpair = bmps._col_transfer_left(envs.lefts[i], top[i],
@@ -564,11 +660,12 @@ def tj_singlet_pair_corr_graded_rowshared(tps, config, space, chi: int,
             cpair = bmps._col_transfer_left(cpair, top[i + 1],
                                             row[i + 1], bot[i + 1])
             psi_ref = jnp.einsum("alc,alc->", cpair, envs.rights[i + 2])
+            safe = jnp.where(psi_ref == 0, 1.0, psi_ref)
 
             def scan_k(carry, k):
-                e = carry
+                e_a, e_ud, e_du = carry
 
-                def close(s1, s2):
+                def close(e, s1, s2):
                     c = bmps._col_transfer_left(e, top[k],
                                                 cand_row[k][s1, fa], bot[k])
                     c = bmps._col_transfer_left(c, top[k + 1],
@@ -577,42 +674,68 @@ def tj_singlet_pair_corr_graded_rowshared(tps, config, space, chi: int,
                     val = jnp.einsum("alc,alc->", c, envs.rights[k + 2])
                     return val * jnp.exp(envs.log_rights[k + 2]
                                          - envs.log_rights[i + 2])
-                amp_ud = close(1, 2)
-                amp_du = close(2, 1)
+                amp_ud = close(e_a, 1, 2)
+                amp_du = close(e_a, 2, 1)
+                amp_ud_rev = close(e_ud, empty, empty)
+                amp_du_rev = close(e_du, empty, empty)
 
                 p_i, p_j = pos[r, i], pos[r, i + 1]
                 p_k, p_l = pos[r, k], pos[r, k + 1]
 
-                def occ_sprime(up_first):
+                def occ_sprime(up_first, pair_at_start):
+                    sp = jnp.where(pair_at_start, p_i, p_k)
+                    sq = jnp.where(pair_at_start, p_j, p_l)
+                    hp = jnp.where(pair_at_start, p_k, p_i)
+                    hq = jnp.where(pair_at_start, p_l, p_j)
                     occ = occ_s
-                    occ = occ.at[2 * p_i].set(0).at[2 * p_i + 1].set(0)
-                    occ = occ.at[2 * p_j].set(0).at[2 * p_j + 1].set(0)
-                    occ = occ.at[2 * p_k].set(jnp.where(up_first, 1, 0))
-                    occ = occ.at[2 * p_k + 1].set(jnp.where(up_first, 0, 1))
-                    occ = occ.at[2 * p_l].set(jnp.where(up_first, 0, 1))
-                    occ = occ.at[2 * p_l + 1].set(jnp.where(up_first, 1, 0))
+                    occ = occ.at[2 * sp].set(0).at[2 * sp + 1].set(0)
+                    occ = occ.at[2 * sq].set(0).at[2 * sq + 1].set(0)
+                    occ = occ.at[2 * hp].set(jnp.where(up_first, 1, 0))
+                    occ = occ.at[2 * hp + 1].set(jnp.where(up_first, 0, 1))
+                    occ = occ.at[2 * hq].set(jnp.where(up_first, 0, 1))
+                    occ = occ.at[2 * hq + 1].set(jnp.where(up_first, 1, 0))
                     return occ
 
                 def chan(amp, up_first, sb):
-                    occp = occ_sprime(jnp.asarray(up_first))
+                    occp = occ_sprime(jnp.asarray(up_first), True)
                     sgn = _pair_op_sign(occp, p_i, p_j, p_k, p_l, sa[i],
                                         sb)
                     coef_a = jnp.where(sa[i] == 0, 1.0, -1.0)
                     coef_b = jnp.where(sb == 0, 1.0, -1.0)
                     return 0.5 * coef_a * coef_b * sgn * amp
 
+                def chan_rev(amp, up_first, sb):
+                    occp = occ_sprime(jnp.asarray(up_first), False)
+                    sgn = _pair_op_sign(occp, p_k, p_l, p_i, p_j, sa[k],
+                                        sb)
+                    coef_a = jnp.where(sa[k] == 0, 1.0, -1.0)
+                    coef_b = jnp.where(sb == 0, 1.0, -1.0)
+                    return 0.5 * coef_a * coef_b * sgn * amp
+
                 val = chan(amp_ud, True, 0) + chan(amp_du, False, 1)
                 valid = b_valid[i] & bp_valid[k] & (k > i + 1)
-                safe = jnp.where(psi_ref == 0, 1.0, psi_ref)
                 out = jnp.where(valid, jnp.real(val / safe), 0.0)
-                e_next = bmps._col_transfer_left(e, top[k], row[k], bot[k])
-                e_next = jnp.where(k > i + 1, e_next, e)
-                return e_next, out
 
-            _, vals = jax.lax.scan(scan_k, e, jnp.arange(nb))
-            return vals
+                val_rev = chan_rev(amp_ud_rev, True, 0) \
+                    + chan_rev(amp_du_rev, False, 1)
+                valid_rev = bp_valid[i] & b_valid[k] & (k > i + 1)
+                out_rev = jnp.where(valid_rev, jnp.real(val_rev / safe),
+                                    0.0)
 
-        return jax.vmap(for_i)(jnp.arange(nb))
+                def prop(e):
+                    nxt = bmps._col_transfer_left(e, top[k], row[k],
+                                                  bot[k])
+                    return jnp.where(k > i + 1, nxt, e)
+
+                return (prop(e_a), prop(e_ud), prop(e_du)), (out, out_rev)
+
+            _, (vals, vals_rev) = jax.lax.scan(scan_k, (e_a, e_ud, e_du),
+                                               jnp.arange(nb))
+            return vals, vals_rev
+
+        vals, vals_rev = jax.vmap(for_i)(jnp.arange(nb))
+        # orientation B estimates <Dag_k D_i> -> entry (k, i)
+        return vals + vals_rev.T
 
     return jax.vmap(per_row)(stacks.tops[:ly], stacks.bots[1:], net, cands,
                              config, jnp.arange(ly))

@@ -71,8 +71,10 @@ def test_pair_corr_matches_ed():
     w = np.abs(psi) ** 2
     got = np.einsum("s,syik->yik", w, np.asarray(tables)) / z
 
+    # (0,2) = upper triangle (pair left of holes); (2,0) = the added
+    # reversed orientation (pair right of holes, lower triangle)
     for y in range(ly):
-        for (i, k) in [(0, 2)]:
+        for (i, k) in [(0, 2), (2, 0)]:
             op = _pair_op_matrix(ly, lx, y * lx + i, y * lx + i + 1,
                                  y * lx + k, y * lx + k + 1)
             want = float(np.real(psi @ op @ psi) / z)
@@ -154,7 +156,9 @@ def test_pair_corr_graded_matches_exact():
             tps, jnp.asarray(cfg), space, chi, tp, "row"))
         for y in range(ly):
             for i in range(lx - 1):
-                for k in range(i + 2, lx - 1):
+                for k in range(lx - 1):
+                    if abs(i - k) <= 1:
+                        continue
                     want = _graded_pair_corr_oracle(
                         c, cfg, ((y, i), (y, i + 1), (y, k), (y, k + 1)),
                         snake_pos)
@@ -181,7 +185,9 @@ def test_pair_corr_graded_matches_exact():
             tps, jnp.asarray(cfg), space, chi, tp, "col"))
         for x in range(lx):
             for i in range(ly - 1):
-                for k in range(i + 2, ly - 1):
+                for k in range(ly - 1):
+                    if abs(i - k) <= 1:
+                        continue
                     want = _graded_pair_corr_oracle(
                         c, cfg, ((i, x), (i + 1, x), (k, x), (k + 1, x)),
                         snake_pos)
@@ -240,7 +246,7 @@ def test_pair_corr_col_matches_ed():
     got = np.einsum("s,sxik->xik", w, np.asarray(tables)) / z
 
     for x in range(lx):
-        for (i, k) in [(0, 2)]:
+        for (i, k) in [(0, 2), (2, 0)]:
             op = _pair_op_matrix(ly, lx, i * lx + x, (i + 1) * lx + x,
                                  k * lx + x, (k + 1) * lx + x)
             want = float(np.real(psi @ op @ psi) / z)
