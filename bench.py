@@ -131,7 +131,8 @@ def _make_train_step(model, chi, trunc, rule, diag_shift=1e-3, lr=0.05,
     return train_step
 
 
-def _train_metrics(ly, lx, D, chi, nchains, su_steps=60, n_steps=4):
+def _train_metrics(ly, lx, D, chi, nchains, su_steps=60, n_steps=4,
+                   eval_chunk=8):
     """Full-train-step throughput + roofline accounting at one config.
     Returns (metrics dict, final tps, final configs)."""
     import numpy as np
@@ -148,7 +149,8 @@ def _train_metrics(ly, lx, D, chi, nchains, su_steps=60, n_steps=4):
     rule = UpdateRule("exchange")
     configs = init_configs_occupancy(jax.random.PRNGKey(1), nchains, ly, lx,
                                      {0: n // 2, 1: n - n // 2})
-    train_step = _make_train_step(model, chi, trunc, rule)
+    train_step = _make_train_step(model, chi, trunc, rule,
+                                  eval_chunk=eval_chunk)
 
     def run_steps(tps, configs, key, k):
         def body(carry, _):
@@ -202,10 +204,13 @@ def main():
     # (L, D, chi)? The README sweep table already runs these sizes; this
     # adds the train-step roofline accounting at each.
     mfu_by_config = [head]
-    for (ly2, lx2, d2, chi2) in ((12, 12, 10, 40), (16, 16, 12, 48)):
+    # 16x16 D=12 chi=48 at eval_chunk=8 OOMs HBM (19.3 GB holes/table
+    # intermediates vs 16 GB v5e) — chunk 2 keeps the per-chunk peak flat
+    for (ly2, lx2, d2, chi2, ec) in ((12, 12, 10, 40, 8),
+                                     (16, 16, 12, 48, 2)):
         try:
             m2, _, _ = _train_metrics(ly2, lx2, d2, chi2, NCHAINS,
-                                      su_steps=30, n_steps=2)
+                                      su_steps=30, n_steps=2, eval_chunk=ec)
             mfu_by_config.append(m2)
         except Exception as ex:            # keep the headline alive
             mfu_by_config.append({

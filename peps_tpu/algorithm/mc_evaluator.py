@@ -89,8 +89,13 @@ def _pbc_eval_batch(tps, configs, model, chi, trunc, with_grad, eval_chunk,
     nc = configs.shape[0]
 
     def fn(c):
-        return local_energy_and_holes_pbc(tps, c, model, chi, trunc,
-                                          with_holes=with_grad)
+        res = local_energy_and_holes_pbc(tps, c, model, chi, trunc,
+                                         with_holes=with_grad)
+        if with_grad and res.o_tensor is not None:
+            # flatten per config BEFORE stacking: trailing (D, D) axes
+            # tile-pad to (8, 128) when chain-stacked (see _mc_collect)
+            res = res._replace(o_tensor=res.o_tensor.reshape(-1))
+        return res
 
     if eval_chunk is None:
         res = jax.vmap(fn)(configs)
@@ -194,20 +199,31 @@ def _mc_collect(tps, configs, key, model: ModelTensors, chi, trunc, rule,
     # (reference analogue: the sweep updaters' env reuse schedule).
     use_bots = local is local_energy_and_holes
 
+    def _flat(res):
+        # flatten the per-config holes to 1D BEFORE the chain stack: a
+        # stacked [nc, ly, lx, d, D, D, D, D] tensor tile-pads its trailing
+        # (D, D) axes to (8, 128) — up to 16x (D=8) / 14x (D=12) physical
+        # HBM inflation; at 16x16 D=12 the padded stack is 19.3 GB and
+        # OOMs the 16 GB chip. [nc, n_params] pads only the lane remainder.
+        if not with_grad or res.o_tensor is None:
+            return res
+        return res._replace(o_tensor=res.o_tensor.reshape(-1))
+
     def eval_all(configs):
-        fn = lambda c: local(tps, c, model, chi, trunc,
-                             with_holes=with_grad)
+        fn = lambda c: _flat(local(tps, c, model, chi, trunc,
+                                   with_holes=with_grad))
         if use_bots:
             from peps_tpu.contraction import bmps as _bmps
             from peps_tpu.tps import project as _project
             stacks = jax.vmap(lambda c: _bmps.all_env_stacks(
                 _project(tps, c), chi, trunc))(configs)
-            fn2 = lambda args: local(tps, args[0], model, chi, trunc,
-                                     with_holes=with_grad, stacks=args[1])
+            fn2 = lambda args: _flat(local(tps, args[0], model, chi, trunc,
+                                           with_holes=with_grad,
+                                           stacks=args[1]))
             if eval_chunk is None:
-                res = jax.vmap(lambda c, st: local(
+                res = jax.vmap(lambda c, st: _flat(local(
                     tps, c, model, chi, trunc, with_holes=with_grad,
-                    stacks=st))(configs, stacks)
+                    stacks=st)))(configs, stacks)
             else:
                 res = jax.lax.map(fn2, (configs, stacks),
                                   batch_size=eval_chunk)
