@@ -62,6 +62,69 @@ def _gate_pair_ops(h_bond: np.ndarray, tau: float):
     return x, y
 
 
+def _embed_pair(h: np.ndarray, i: int, j: int, d: int) -> np.ndarray:
+    """Embed a two-site term h [d,d,d,d] (bra_i, bra_j, ket_i, ket_j) acting
+    on ring sites i, j (0-based) into the 4-site plaquette operator
+    [d^4, d^4] (site order 1,2,3,4)."""
+    rest = [s for s in range(4) if s not in (i, j)]
+    big = np.kron(h.reshape(d * d, d * d), np.eye(d ** 2))
+    t = big.reshape((d,) * 8)
+    order = [i, j] + rest                  # current site order of t's axes
+    inv = np.argsort(order)
+    perm = list(inv) + [4 + int(p) for p in inv]
+    return t.transpose(perm).reshape(d ** 4, d ** 4)
+
+
+def _ring_ops_exponential(hh: np.ndarray, hv: np.ndarray, tau: float,
+                          w: tuple, d: int):
+    """Exponential loop gate: the EXACT 2x2-plaquette propagator
+    exp(-tau H_plaq), chain-SVD-split into four ring site operators
+    (reference gate type kExponential, loop_update.h:35-37,86 — vs the
+    first-order Trotter factorization into bond gates of _gate_pair_ops).
+
+    w = (w12, w23, w34, w41) per-bond weights. Site/slot conventions:
+    hh slot1 = left site, hv slot1 = upper site; ring sites 1=TL, 2=TR,
+    3=BR, 4=BL. Returns per-site operators [k_out, k_in, d', d] with
+    (k41, k12, k23, k34) = (1, d^2, d^4, d^2): an exact open-chain MPO
+    around the ring (a 4-site operator needs no 4th ring bond)."""
+    h_plaq = (_embed_pair(hh * w[0], 0, 1, d)      # bond 12 (top, 1 left)
+              + _embed_pair(hv * w[1], 1, 2, d)    # bond 23 (right, 2 up)
+              + _embed_pair(hh * w[2], 3, 2, d)    # bond 34 (bottom, 4 left)
+              + _embed_pair(hv * w[3], 0, 3, d))   # bond 41 (left, 1 up)
+    from scipy.linalg import expm as _expm   # host precompute: full f64
+    g = _expm(-tau * np.asarray(h_plaq, np.float64))
+    m = d * d
+
+    def _trim(s):
+        # drop numerically-null chain directions (SVD noise of low-rank
+        # propagators, e.g. tau=0 identity: rank 1 with ~1e-8 junk tails
+        # that would pollute the weighted truncation downstream)
+        return max(1, int(np.sum(s > 1e-13 * max(s[0], 1e-300))))
+
+    t = g.reshape((d,) * 8).transpose(0, 4, 1, 5, 2, 6, 3, 7)
+    t = t.reshape(m, m, m, m)              # [(p1',p1), ..., (p4',p4)]
+    u1, s1, r1 = np.linalg.svd(t.reshape(m, m ** 3), full_matrices=False)
+    k12 = _trim(s1)
+    u1, s1, r1 = u1[:, :k12], s1[:k12], r1[:k12]
+    a1 = u1 * np.sqrt(s1)[None, :]                            # [m, k12]
+    r = (np.sqrt(s1)[:, None] * r1).reshape(k12 * m, m * m)
+    u2, s2, r2 = np.linalg.svd(r, full_matrices=False)
+    k23 = _trim(s2)
+    u2, s2, r2 = u2[:, :k23], s2[:k23], r2[:k23]
+    a2 = (u2 * np.sqrt(s2)[None, :]).reshape(k12, m, k23)     # [k12,m,k23]
+    r = (np.sqrt(s2)[:, None] * r2).reshape(k23 * m, m)
+    u3, s3, r3 = np.linalg.svd(r, full_matrices=False)
+    k34 = _trim(s3)
+    u3, s3, r3 = u3[:, :k34], s3[:k34], r3[:k34]
+    a3 = (u3 * np.sqrt(s3)[None, :]).reshape(k23, m, k34)     # [k23,m,k34]
+    a4 = np.sqrt(s3)[:, None] * r3                            # [k34, m]
+    op1 = a1.reshape(d, d, k12).transpose(2, 0, 1)[:, None]   # [k12,1,d,d]
+    op2 = a2.reshape(k12, d, d, k23).transpose(3, 0, 1, 2)    # [k23,k12,..]
+    op3 = a3.reshape(k23, d, d, k34).transpose(3, 0, 1, 2)    # [k34,k23,..]
+    op4 = a4.reshape(k34, d, d)[None]                         # [1,k34,d,d]
+    return op1, op2, op3, op4
+
+
 def _site_ops(x12, y12, x23, y23, x34, y34, x41, y41):
     """Combined per-site physical operators [Np, k_out, k_in, d, d]:
     op1 = X12 Y41, op2 = X23 Y12, op3 = X34 Y23, op4 = Y34 X41
@@ -326,8 +389,16 @@ class LoopUpdateParams:
     fet_cg_iters: int = 20
     fet_cg_tol: float = 1e-10
     fet_alternations: int = 2
+    # "first": Trotter-factorized bond gates (reference kFirstOrder);
+    # "exponential": exact plaquette exp(-tau H_plaq) chain-split into the
+    # ring (reference kExponential, loop_update.h:35-37,86). The
+    # exponential gate has NO intra-plaquette Trotter error; its middle
+    # ring bond grows to D*d^4 (vs D*d^2) before truncation.
+    gate_type: str = "first"
 
     def __post_init__(self):
+        if self.gate_type not in ("first", "exponential"):
+            raise ValueError(f"unknown gate_type {self.gate_type!r}")
         if self.fet_sweeps > 1:
             import warnings
             warnings.warn(
@@ -356,7 +427,9 @@ def _apply_plaquette_batch(sites, lambdas, gates: tuple, params):
     s3 = jnp.einsum("npuldr,nl->npuldr", s3, l34)
     s4 = jnp.einsum("npuldr,nu->npuldr", s4, l41)
 
-    ops = _site_ops(*gates)
+    # gates: 8-tuple of bond-gate factors (first-order) or 4-tuple of
+    # pre-split ring site operators (exponential)
+    ops = gates if len(gates) == 4 else _site_ops(*gates)
     s1 = _absorb_site(s1, ops[0], 1)
     s2 = _absorb_site(s2, ops[1], 2)
     s3 = _absorb_site(s3, ops[2], 3)
@@ -422,11 +495,17 @@ def loop_update(peps: PEPS, h_bond_h: np.ndarray, h_bond_v: np.ndarray,
     # per-plaquette pair ops (host precompute)
     k = d * d
     gate_bank = {}
+    exp_mode = params.gate_type == "exponential"
+    n_packs = 4 if exp_mode else 8
 
     def plaquette_gates(y, x):
         keyt = (round(1.0 / cnt_h[y, x], 9), round(1.0 / cnt_v[y, x + 1], 9),
                 round(1.0 / cnt_h[y + 1, x], 9), round(1.0 / cnt_v[y, x], 9))
         if keyt not in gate_bank:
+            if exp_mode:
+                ops = _ring_ops_exponential(hh, hv, params.tau, keyt, d)
+                gate_bank[keyt] = tuple(np.stack([o]) for o in ops)
+                return gate_bank[keyt]
             x12, y12 = _gate_pair_ops(hh * keyt[0], params.tau)
             x23, y23 = _gate_pair_ops(hv * keyt[1], params.tau)
             # bond 34 runs 3->4 i.e. right-to-left: the pair op acts (site3,
@@ -441,12 +520,25 @@ def loop_update(peps: PEPS, h_bond_h: np.ndarray, h_bond_v: np.ndarray,
         return gate_bank[keyt]
 
     def gather_gates(ys, xs):
-        packs = [[] for _ in range(8)]
+        packs = [[] for _ in range(n_packs)]
         for y in ys:
             for x in xs:
                 g8 = plaquette_gates(y, x)
-                for i in range(8):
+                for i in range(n_packs):
                     packs[i].append(g8[i][0])
+        if exp_mode:
+            # different weight keys can trim to different chain ranks:
+            # zero-pad each slot to the pack max (exact — null chain
+            # directions contribute nothing; both sides of every ring
+            # bond see the same k_out/k_in set, so pairing stays aligned)
+            out = []
+            for p in packs:
+                ko = max(a.shape[0] for a in p)
+                ki = max(a.shape[1] for a in p)
+                p = [np.pad(a, ((0, ko - a.shape[0]), (0, ki - a.shape[1]),
+                               (0, 0), (0, 0))) for a in p]
+                out.append(jnp.asarray(np.stack(p), dt))
+            return tuple(out)
         return tuple(jnp.asarray(np.stack(p), dt) for p in packs)
 
     # precompute per-sublattice gate packs on the host (static)

@@ -51,6 +51,98 @@ def test_loop_update_single_step_improves():
     assert e1 < e0, (e0, e1)
 
 
+def test_exponential_ring_split_exact():
+    """The kExponential gate's chain-SVD split (loop_update.h:35-37,86) must
+    reproduce exp(-tau H_plaq) EXACTLY when the four ring site-operators are
+    recontracted: op1(k12) op2(k12,k23) op3(k23,k34) op4(k34) with the chain
+    indices riding the ring bonds."""
+    from peps_tpu.loop_update import (_embed_pair, _ring_ops_exponential,
+                                      expm_taylor)
+    model = spin.heisenberg(1.0)
+    hh = np.asarray(model.h_h, np.float64)
+    hv = np.asarray(model.h_v, np.float64)
+    d, tau, w = 2, 0.13, (1.0, 0.7, 1.3, 0.9)
+    op1, op2, op3, op4 = _ring_ops_exponential(hh, hv, tau, w, d)
+    g = np.einsum("apq,bars,cbtu,cvw->pqrstuvw", op1[:, 0], op2, op3,
+                  op4[0])
+    g = g.transpose(0, 2, 4, 6, 1, 3, 5, 7).reshape(d ** 4, d ** 4)
+    h_plaq = (_embed_pair(hh * w[0], 0, 1, d)
+              + _embed_pair(hv * w[1], 1, 2, d)
+              + _embed_pair(hh * w[2], 3, 2, d)
+              + _embed_pair(hv * w[3], 0, 3, d))
+    ref = np.asarray(expm_taylor(jnp.asarray(-tau * h_plaq, jnp.float64)))
+    assert np.abs(g - ref).max() < 1e-13
+
+
+def test_loop_update_exponential_identity_preserves_state():
+    """tau=0 exponential-gate steps must be state-preserving — validates the
+    4-operator absorb path (non-uniform ring-bond growth k=(1,d^2,d^4,d^2))
+    through truncation and regauging."""
+    model, peps, D = _su_state()
+    e0 = energy_of_tps(np.asarray(to_tps(peps)), model)
+    out = loop_update(peps, model.h_h, model.h_v,
+                      LoopUpdateParams(steps=2, tau=0.0, bond_dim=D,
+                                       gate_type="exponential"))
+    e1 = energy_of_tps(np.asarray(to_tps(out.peps)), model)
+    assert abs(e1 - e0) < 1e-8, (e0, e1)
+
+
+def test_loop_update_exponential_exact_on_2x2():
+    """On a single plaquette (2x2) the exponential gate IS the exact
+    propagator: N steps from a product state must match exp(-N tau H)
+    applied by ED, up to bond truncation at D=4 (exactly representable)."""
+    from scipy.linalg import expm
+
+    from tests.ed_oracle import build_hamiltonian, wavefunction_from_tps
+    model = spin.heisenberg(1.0)
+    ly = lx = 2
+    D, tau, n_steps = 4, 0.05, 10
+    occ = np.fromfunction(lambda y, x: (y + x) % 2, (ly, lx), dtype=int)
+    peps = product_peps(ly, lx, D, occ, 2, dtype=jnp.float64)
+    out = loop_update(peps, model.h_h, model.h_v,
+                      LoopUpdateParams(steps=n_steps, tau=tau, bond_dim=D,
+                                       gate_type="exponential"))
+    psi = wavefunction_from_tps(np.asarray(to_tps(out.peps)))
+    psi /= np.linalg.norm(psi)
+    H = np.asarray(build_hamiltonian(model, ly, lx).todense())
+    ref = expm(-n_steps * tau * H) @ wavefunction_from_tps(
+        np.asarray(to_tps(peps)))
+    ref /= np.linalg.norm(ref)
+    fid = abs(np.vdot(psi, ref))
+    assert fid > 1 - 1e-8, fid
+
+
+@pytest.mark.slow
+def test_loop_update_exponential_at_least_first_order_quality():
+    """4x4 Heisenberg at equal tau: the exponential gate (no intra-plaquette
+    Trotter error) must reach an energy <= the first-order gate's best
+    energy (+ truncation-noise tolerance) over the same short trajectory
+    from the same warm start (reference loop_update.h:35-37 kExponential vs
+    kFirstOrder)."""
+    model = spin.heisenberg(1.0)
+    ly = lx = 4
+    D = 4
+    occ = np.fromfunction(lambda y, x: (y + x) % 2, (ly, lx), dtype=int)
+    peps0 = product_peps(ly, lx, D, occ, 2, dtype=jnp.float64)
+    warm = simple_update(peps0, model.h_h, model.h_v,
+                         SimpleUpdateParams(steps=60, tau=0.2,
+                                            trunc=TruncParams(D, 1, 1e-12)))
+    best = {}
+    for gate_type in ("first", "exponential"):
+        peps, best_e = warm.peps, np.inf
+        for _ in range(4):                     # 20 steps, tracked in chunks
+            out = loop_update(peps, model.h_h, model.h_v,
+                              LoopUpdateParams(steps=5, tau=0.05,
+                                               bond_dim=D,
+                                               gate_type=gate_type))
+            peps = out.peps
+            e = energy_of_tps(np.asarray(to_tps(peps)), model)
+            best_e = min(best_e, e)
+        best[gate_type] = best_e
+    assert np.isfinite(best["exponential"]), best
+    assert best["exponential"] <= best["first"] + 2e-4, best
+
+
 @pytest.mark.slow
 def test_loop_update_long_evolution_reaches_su_quality():
     """4x4 Heisenberg, >= 100 CG-FET loop steps from a short-SU warm start:
