@@ -134,6 +134,9 @@ class MeasurementParams:
     # local-energy tables can exceed HBM at production sizes (graded 6x6
     # D=8 chi=32 needs ~0.8 GB/chain)
     eval_chunk: int | None = None
+    # config batch for the split env-walker pass (pair correlators etc.):
+    # larger batches amortize dispatch on TPU, memory permitting
+    env_chunk: int | None = None
     # PBC-only: host-driven bond sweep (see MCParams.host_sweep);
     # None = auto (host-driven on TPU)
     host_sweep: bool | None = None
@@ -204,18 +207,23 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
             tj_singlet_pair_corr_graded_colshared,
             tj_singlet_pair_corr_graded_rowshared)
         from peps_tpu.algorithm.registry import Observable
+        # ctx.stacks carries the GradedEnvShared bundle (projected net +
+        # env stacks + candidates + flip masks), built ONCE per config in
+        # the env pass and shared by both walkers
         registry.append(Observable(
             "pair_corr_row", "t-J singlet pair correlation (graded state, "
             "in-row horizontal bond pairs; env-shared walker)",
             lambda ctx: tj_singlet_pair_corr_graded_rowshared(
-                ctx.tps, ctx.config, mt.space, ctx.chi, ctx.trunc),
-            None, ("y", "x1", "x2"), needs_envs=True))
+                ctx.tps, ctx.config, mt.space, ctx.chi, ctx.trunc,
+                shared=ctx.stacks),
+            None, ("y", "x1", "x2"), needs_envs=True, uses_stacks=True))
         registry.append(Observable(
             "pair_corr_col", "t-J singlet pair correlation (graded state, "
             "in-column vertical bond pairs; env-shared excited-BMPS walker)",
             lambda ctx: tj_singlet_pair_corr_graded_colshared(
-                ctx.tps, ctx.config, mt.space, ctx.chi, ctx.trunc),
-            None, ("x", "y1", "y2"), needs_envs=True))
+                ctx.tps, ctx.config, mt.space, ctx.chi, ctx.trunc,
+                shared=ctx.stacks),
+            None, ("x", "y1", "y2"), needs_envs=True, uses_stacks=True))
     nc = configs.shape[0]
     tps_t = transpose_tps(tps)
     # Split the observable graph (compile-time control at production sizes:
@@ -362,7 +370,14 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
         def env_group(cfg):
             stacks = stacks_t = None
             if build_stacks:
-                stacks = bmps.all_env_stacks(project(tps, cfg), chi, trunc)
+                if graded:
+                    from peps_tpu.algorithm.measure_fermion import \
+                        graded_env_shared
+                    stacks = graded_env_shared(tps, cfg, mt.space, chi,
+                                               trunc)
+                else:
+                    stacks = bmps.all_env_stacks(project(tps, cfg), chi,
+                                                 trunc)
             if build_stacks_t:
                 stacks_t = bmps.all_env_stacks(project(tps_t, cfg.T), chi,
                                                trunc)
@@ -373,7 +388,7 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
                                  chi, trunc, stacks, stacks_t)
             return {ob.key: ob.compute(ctx) for ob in env_obs}
 
-        env_chunk = min(8, flat_cfgs.shape[0])
+        env_chunk = min(params.env_chunk or 8, flat_cfgs.shape[0])
         env_fn = jax.jit(lambda cs: jax.lax.map(env_group, cs,
                                                 batch_size=env_chunk))
         env_out = jax.tree.map(np.asarray, env_fn(flat_cfgs))

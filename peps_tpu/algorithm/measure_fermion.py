@@ -16,6 +16,8 @@ machinery as the bosonic correlators.
 """
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -24,6 +26,33 @@ from peps_tpu.contraction import bmps
 from peps_tpu.lattice import transpose_tps
 from peps_tpu.linalg import TruncParams
 from peps_tpu.tps import project
+
+
+class GradedEnvShared(NamedTuple):
+    """Per-config resources shared by BOTH graded pair-corr walkers (and any
+    future graded env observable): the dressed projected network, its full
+    BMPS env stacks, the flag-conditioned candidate tensors, and the snake
+    flip masks. Building these once per configuration in the measurement
+    executor's env pass (instead of once per walker) halves the env cost of
+    the pair-corr registry."""
+    net: jnp.ndarray
+    stacks: object
+    cands: jnp.ndarray
+    flip: jnp.ndarray
+
+
+def graded_env_shared(tps, config, space, chi: int,
+                      trunc: TruncParams) -> GradedEnvShared:
+    from peps_tpu.fermion.convert import fermion_project
+    from peps_tpu.fermion.tables import (fermion_candidates,
+                                         fermion_flip_mask)
+
+    ly, lx = tps.shape[0], tps.shape[1]
+    net = fermion_project(tps, config, space)
+    stacks = bmps.all_env_stacks(net, chi, trunc)
+    cands = fermion_candidates(tps, config, space)
+    flip = fermion_flip_mask(config, space, ly, lx, tps.dtype)
+    return GradedEnvShared(net, stacks, cands, flip)
 
 # t-J local basis: 0 = empty, 1 = up, 2 = down
 _N_UP = np.array([0, 1, 0])
@@ -365,7 +394,9 @@ def _bmps_overlap(a, b):
 
 
 def tj_singlet_pair_corr_graded_colshared(tps, config, space, chi: int,
-                                          trunc: TruncParams):
+                                          trunc: TruncParams,
+                                          shared: GradedEnvShared | None
+                                          = None):
     """Env-shared <Delta^dag Delta> walker on a GRADED t-J state for
     VERTICAL bond pairs in the same column — replaces the full-recompute
     tj_singlet_pair_corr_graded(..., "col") (O(N) contractions per entry)
@@ -387,16 +418,13 @@ def tj_singlet_pair_corr_graded_colshared(tps, config, space, chi: int,
     identical to the full-recompute path. Returns [Lx, Ly-1, Ly-1]
     (reference: the vertical-bond geometries of
     singlet_pair_correlation_measurement_mixin.h)."""
-    from peps_tpu.fermion.convert import fermion_project
     from peps_tpu.fermion.exact import snake_order
-    from peps_tpu.fermion.tables import fermion_candidates, fermion_flip_mask
 
     ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
     assert d == 3, "t-J basis required"
-    net = fermion_project(tps, config, space)
-    stacks = bmps.all_env_stacks(net, chi, trunc)
-    cands = fermion_candidates(tps, config, space)   # [Ly,Lx,d,2,...]
-    flip = fermion_flip_mask(config, space, ly, lx, tps.dtype)
+    if shared is None:
+        shared = graded_env_shared(tps, config, space, chi, trunc)
+    net, stacks, cands, flip = shared
     nb = ly - 1
     rdt = tps.real.dtype if jnp.iscomplexobj(tps) else tps.dtype
 
@@ -591,7 +619,9 @@ def tj_singlet_pair_corr_graded_colshared(tps, config, space, chi: int,
 
 
 def tj_singlet_pair_corr_graded_rowshared(tps, config, space, chi: int,
-                                          trunc: TruncParams):
+                                          trunc: TruncParams,
+                                          shared: GradedEnvShared | None
+                                          = None):
     """Env-shared <Delta^dag Delta> walker on a GRADED t-J state (in-row
     horizontal bond pairs) — replaces the O(N) full recomputes per bond
     pair of tj_singlet_pair_corr_graded(..., "row") with the bosonic
@@ -604,15 +634,13 @@ def tj_singlet_pair_corr_graded_rowshared(tps, config, space, chi: int,
     dressing (net prefix-parity change = 0). Operator signs are exact
     sequential parity counts in the snake mode order — identical to the
     full-recompute path. Returns [Ly, Lx-1, Lx-1]."""
-    from peps_tpu.fermion.convert import fermion_project
     from peps_tpu.fermion.exact import snake_order
-    from peps_tpu.fermion.tables import fermion_candidates
 
     ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
     assert d == 3, "t-J basis required"
-    net = fermion_project(tps, config, space)
-    stacks = bmps.all_env_stacks(net, chi, trunc)
-    cands = fermion_candidates(tps, config, space)   # [Ly,Lx,d,2,...]
+    if shared is None:
+        shared = graded_env_shared(tps, config, space, chi, trunc)
+    net, stacks, cands = shared.net, shared.stacks, shared.cands
 
     pos_np = np.zeros((ly, lx), np.int32)
     for p, (y, x) in enumerate(snake_order(ly, lx)):

@@ -293,6 +293,33 @@ def test_graded_pair_corr_rowshared_matches_full_recompute():
     assert checked > 0   # nonzero entries were actually compared
 
 
+def test_graded_pair_corr_shared_bundle_equivalence():
+    """Passing a precomputed GradedEnvShared bundle (the measurement
+    executor's per-config env pass) must give bit-identical walker outputs
+    to the walkers building their own resources — BOTH frames share ONE
+    bundle (the measure() env-pass contract)."""
+    from peps_tpu.algorithm.measure_fermion import (
+        graded_env_shared, tj_singlet_pair_corr_graded_colshared,
+        tj_singlet_pair_corr_graded_rowshared)
+    from peps_tpu.models.fermion import tj_model
+    from tests.test_fermion_vmc import su_state
+
+    model = tj_model(3.0, 1.0)
+    ly, lx, D = 3, 3, 4
+    occ0 = np.array([[1, 2, 0], [2, 1, 0], [0, 1, 2]])
+    tps, space = su_state(model, ly, lx, D, occ0, sched=((30, 0.2),))
+    tps = tps / jnp.max(jnp.abs(tps))
+    chi = 16
+    tp = TruncParams(chi, 1, 0.0)
+    c = jnp.asarray(occ0.astype(np.int32))
+    bundle = graded_env_shared(tps, c, space, chi, tp)
+    for fn in (tj_singlet_pair_corr_graded_rowshared,
+               tj_singlet_pair_corr_graded_colshared):
+        own = np.asarray(fn(tps, c, space, chi, tp))
+        shared = np.asarray(fn(tps, c, space, chi, tp, shared=bundle))
+        np.testing.assert_array_equal(own, shared)
+
+
 def test_graded_pair_corr_colshared_matches_full_recompute():
     """The env-shared COLUMN-frame graded walker (excited-BMPS propagation)
     equals the full-recompute graded estimator entry for entry (the
