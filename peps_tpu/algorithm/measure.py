@@ -323,9 +323,22 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
                 tps, configs, kc[1:], chi, trunc, rule,
                 fuse_bonds=params.fuse_bonds)
     else:
-        for _ in range(params.num_warmup_sweeps):
+        # one jitted scan over all warm-up sweeps: calling sweep_all eagerly
+        # costs ~27 s/sweep in trace overhead at production sizes (vs 0.5 s
+        # compiled) — at num_warmup_sweeps=100 the eager path dominated the
+        # whole measurement phase
+        @_partial(jax.jit, static_argnames=("n",))
+        def warm_scan(cfgs, k, n):
+            def body(carry, _):
+                cfgs, k = carry
+                cfgs, k, _ = sweep_all(cfgs, k)
+                return (cfgs, k), None
+            (cfgs, k), _ = jax.lax.scan(body, (cfgs, k), None, length=n)
+            return cfgs, k
+
+        if params.num_warmup_sweeps > 0:
             key, ks = jax.random.split(key)
-            configs, _, _ = sweep_all(configs, ks)
+            configs, _ = warm_scan(configs, ks, params.num_warmup_sweeps)
 
     # graceful-stop support (reference: MPISignalGuard, base/mpi_signal_guard.h:
     # SIGINT/SIGTERM -> flag -> per-sweep check -> break and dump partials).
