@@ -116,6 +116,30 @@ def standard_spin_observables(d: int = 2):
     return {"sz_values": sz, "op_a": sp, "op_b": sm}
 
 
+# Compiled-executable reuse ACROSS measure() calls. The jitted collect /
+# warm-up / env-walker graphs used to be rebuilt as fresh closures on every
+# call, so every call recompiled everything (~110 s at production sizes; a
+# flagship run makes 4 measure() calls). The state array and its transpose
+# are explicit ARGUMENTS of the cached functions; everything else a closure
+# bakes in as compile-time constants (model tensors, registry observable
+# constants, chi/trunc/rule) is pinned by a value fingerprint in the key.
+_EXEC_CACHE: dict = {}
+_EXEC_CACHE_MAX = 16
+
+
+def _exec_fingerprint(*trees) -> str:
+    import hashlib
+    h = hashlib.sha256()
+    for tree in trees:
+        leaves, treedef = jax.tree.flatten(tree)
+        h.update(str(treedef).encode())
+        for leaf in leaves:
+            arr = np.asarray(leaf)
+            h.update(str((arr.shape, str(arr.dtype))).encode())
+            h.update(arr.tobytes())
+    return h.hexdigest()
+
+
 @dataclasses.dataclass(frozen=True)
 class MeasurementParams:
     """Reference: MCMeasurementParams (vmc_peps_optimizer_params.h:167)."""
@@ -234,55 +258,87 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
     cheap_obs = [ob for ob in registry if not ob.needs_envs]
     env_obs = [ob for ob in registry if ob.needs_envs]
 
-    def per_sample(cfg):
-        res = local_fn(tps, cfg, mt, chi, trunc,
-                       with_holes=False)
-        ctx = MeasureContext(tps, tps_t, cfg, jnp.real(res.e_loc), chi,
-                             trunc)
-        out = {"energy": jnp.real(res.e_loc)}
-        for ob in cheap_obs:
-            out[ob.key] = ob.compute(ctx)
-        out["log_abs_psi"] = res.log_abs_psi
-        out["_config"] = cfg
-        return out
-
-    def sweep_all(cfgs, k):
-        ks = jax.random.split(k, nc + 1)
-        if graded:
-            new, _, stats = jax.vmap(
-                mc_sweep_fermion, in_axes=(None, None, 0, 0, None, None))(
-                tps, mt.space, cfgs, ks[1:], chi, trunc)
-        elif periodic:
-            new, _, stats = jax.vmap(
-                mc_sweep_pbc, in_axes=(None, 0, 0, None, None, None))(
-                tps, cfgs, ks[1:], chi, trunc, rule)
-        else:
-            new, _, stats = jax.vmap(
-                mc_sweep, in_axes=(None, None, 0, 0, None, None, None))(
-                tps, tps_t, cfgs, ks[1:], chi, trunc, rule)
-        return new, ks[0], stats
-
     from functools import partial as _partial
 
-    @_partial(jax.jit, static_argnames=("length",))
-    def collect(cfgs, k, length):
-        def step(carry, _):
-            cfgs, k, acc, tri = carry
-            for _ in range(params.sweeps_between_samples):
-                cfgs, k, stats = sweep_all(cfgs, k)
-                acc = acc + jnp.sum(stats.accepted).astype(acc.dtype)
-                tri = tri + jnp.sum(stats.trials).astype(tri.dtype)
-            if params.eval_chunk is None:
-                vals = jax.vmap(per_sample)(cfgs)
-            else:
-                vals = jax.lax.map(per_sample, cfgs,
-                                   batch_size=params.eval_chunk)
-            return (cfgs, k, acc, tri), vals
+    exec_key = (_exec_fingerprint(mt),
+                tuple(ob.key for ob in registry), tps.shape,
+                str(tps.dtype), chi, repr(trunc), repr(rule), graded,
+                periodic, params.eval_chunk, params.env_chunk,
+                params.sweeps_between_samples, nc)
+    cached = _EXEC_CACHE.get(exec_key)
+    if cached is None:
+        def per_sample(tps, tps_t, cfg):
+            res = local_fn(tps, cfg, mt, chi, trunc,
+                           with_holes=False)
+            ctx = MeasureContext(tps, tps_t, cfg, jnp.real(res.e_loc), chi,
+                                 trunc)
+            out = {"energy": jnp.real(res.e_loc)}
+            for ob in cheap_obs:
+                out[ob.key] = ob.compute(ctx)
+            out["log_abs_psi"] = res.log_abs_psi
+            out["_config"] = cfg
+            return out
 
-        init = (cfgs, k, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-        (cfgs, k, acc, tri), outs = jax.lax.scan(step, init, None,
-                                                 length=length)
-        return cfgs, k, acc, tri, outs
+        def sweep_all(tps, tps_t, cfgs, k):
+            ks = jax.random.split(k, nc + 1)
+            if graded:
+                new, _, stats = jax.vmap(
+                    mc_sweep_fermion,
+                    in_axes=(None, None, 0, 0, None, None))(
+                    tps, mt.space, cfgs, ks[1:], chi, trunc)
+            elif periodic:
+                new, _, stats = jax.vmap(
+                    mc_sweep_pbc, in_axes=(None, 0, 0, None, None, None))(
+                    tps, cfgs, ks[1:], chi, trunc, rule)
+            else:
+                new, _, stats = jax.vmap(
+                    mc_sweep, in_axes=(None, None, 0, 0, None, None, None))(
+                    tps, tps_t, cfgs, ks[1:], chi, trunc, rule)
+            return new, ks[0], stats
+
+        @_partial(jax.jit, static_argnames=("length",))
+        def collect_fn(tps, tps_t, cfgs, k, length):
+            def step(carry, _):
+                cfgs, k, acc, tri = carry
+                for _ in range(params.sweeps_between_samples):
+                    cfgs, k, stats = sweep_all(tps, tps_t, cfgs, k)
+                    acc = acc + jnp.sum(stats.accepted).astype(acc.dtype)
+                    tri = tri + jnp.sum(stats.trials).astype(tri.dtype)
+                ps = lambda c: per_sample(tps, tps_t, c)
+                if params.eval_chunk is None:
+                    vals = jax.vmap(ps)(cfgs)
+                else:
+                    vals = jax.lax.map(ps, cfgs,
+                                       batch_size=params.eval_chunk)
+                return (cfgs, k, acc, tri), vals
+
+            init = (cfgs, k, jnp.zeros((), jnp.int32),
+                    jnp.zeros((), jnp.int32))
+            (cfgs, k, acc, tri), outs = jax.lax.scan(step, init, None,
+                                                     length=length)
+            return cfgs, k, acc, tri, outs
+
+        @_partial(jax.jit, static_argnames=("n",))
+        def warm_scan_fn(tps, tps_t, cfgs, k, n):
+            def body(carry, _):
+                cfgs, k = carry
+                cfgs, k, _ = sweep_all(tps, tps_t, cfgs, k)
+                return (cfgs, k), None
+            (cfgs, k), _ = jax.lax.scan(body, (cfgs, k), None, length=n)
+            return cfgs, k
+
+        cached = {"per_sample": per_sample, "collect": collect_fn,
+                  "warm_scan": warm_scan_fn, "env_fn": None,
+                  "env_obs": env_obs}
+        if len(_EXEC_CACHE) >= _EXEC_CACHE_MAX:
+            _EXEC_CACHE.pop(next(iter(_EXEC_CACHE)))
+        _EXEC_CACHE[exec_key] = cached
+    per_sample = cached["per_sample"]
+    collect_fn = cached["collect"]
+    warm_scan_fn = cached["warm_scan"]
+
+    def collect(cfgs, k, length):
+        return collect_fn(tps, tps_t, cfgs, k, length)
 
     # PBC on TPU: the scanned TRG sweep graph cannot compile (XLA
     # pathology, docs/tpu_engineering.md) — drive the bond loop from the
@@ -294,7 +350,7 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
         from peps_tpu.montecarlo.sweep_pbc import mc_sweep_pbc_host
         eval_c = params.eval_chunk or 4
         per_sample_batch = jax.jit(lambda cs: jax.lax.map(
-            per_sample, cs, batch_size=eval_c))
+            lambda c: per_sample(tps, tps_t, c), cs, batch_size=eval_c))
 
         def collect(cfgs, k, length):          # noqa: F811
             acc = jnp.zeros((), jnp.int32)
@@ -323,22 +379,14 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
                 tps, configs, kc[1:], chi, trunc, rule,
                 fuse_bonds=params.fuse_bonds)
     else:
-        # one jitted scan over all warm-up sweeps: calling sweep_all eagerly
-        # costs ~27 s/sweep in trace overhead at production sizes (vs 0.5 s
-        # compiled) — at num_warmup_sweeps=100 the eager path dominated the
-        # whole measurement phase
-        @_partial(jax.jit, static_argnames=("n",))
-        def warm_scan(cfgs, k, n):
-            def body(carry, _):
-                cfgs, k = carry
-                cfgs, k, _ = sweep_all(cfgs, k)
-                return (cfgs, k), None
-            (cfgs, k), _ = jax.lax.scan(body, (cfgs, k), None, length=n)
-            return cfgs, k
-
+        # one jitted (and cross-call-cached) scan over all warm-up sweeps:
+        # calling the sweep eagerly costs ~27 s/sweep in trace overhead at
+        # production sizes (vs 0.5 s compiled) — at num_warmup_sweeps=100
+        # the eager path dominated the whole measurement phase
         if params.num_warmup_sweeps > 0:
             key, ks = jax.random.split(key)
-            configs, _ = warm_scan(configs, ks, params.num_warmup_sweeps)
+            configs, _ = warm_scan_fn(tps, tps_t, configs, ks,
+                                      params.num_warmup_sweeps)
 
     # graceful-stop support (reference: MPISignalGuard, base/mpi_signal_guard.h:
     # SIGINT/SIGTERM -> flag -> per-sweep check -> break and dump partials).
@@ -380,31 +428,39 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
         build_stacks = any(ob.uses_stacks for ob in env_obs)
         build_stacks_t = any(ob.uses_stacks_t for ob in env_obs)
 
-        def env_group(cfg):
-            stacks = stacks_t = None
-            if build_stacks:
-                if graded:
-                    from peps_tpu.algorithm.measure_fermion import \
-                        graded_env_shared
-                    stacks = graded_env_shared(tps, cfg, mt.space, chi,
-                                               trunc)
-                else:
-                    stacks = bmps.all_env_stacks(project(tps, cfg), chi,
-                                                 trunc)
-            if build_stacks_t:
-                stacks_t = bmps.all_env_stacks(project(tps_t, cfg.T), chi,
-                                               trunc)
-            ctx = MeasureContext(tps, tps_t, cfg,
-                                 jnp.zeros((), tps.real.dtype
-                                           if jnp.iscomplexobj(tps)
-                                           else tps.dtype),
-                                 chi, trunc, stacks, stacks_t)
-            return {ob.key: ob.compute(ctx) for ob in env_obs}
+        if cached["env_fn"] is None:
+            c_env_obs = cached["env_obs"]
 
+            def env_group(tps, tps_t, cfg):
+                stacks = stacks_t = None
+                if build_stacks:
+                    if graded:
+                        from peps_tpu.algorithm.measure_fermion import \
+                            graded_env_shared
+                        stacks = graded_env_shared(tps, cfg, mt.space, chi,
+                                                   trunc)
+                    else:
+                        stacks = bmps.all_env_stacks(project(tps, cfg),
+                                                     chi, trunc)
+                if build_stacks_t:
+                    stacks_t = bmps.all_env_stacks(project(tps_t, cfg.T),
+                                                   chi, trunc)
+                ctx = MeasureContext(tps, tps_t, cfg,
+                                     jnp.zeros((), tps.real.dtype
+                                               if jnp.iscomplexobj(tps)
+                                               else tps.dtype),
+                                     chi, trunc, stacks, stacks_t)
+                return {ob.key: ob.compute(ctx) for ob in c_env_obs}
+
+            cached["env_fn"] = jax.jit(
+                lambda tps, tps_t, cs, env_chunk: jax.lax.map(
+                    lambda c: env_group(tps, tps_t, c), cs,
+                    batch_size=env_chunk),
+                static_argnames=("env_chunk",))
         env_chunk = min(params.env_chunk or 8, flat_cfgs.shape[0])
-        env_fn = jax.jit(lambda cs: jax.lax.map(env_group, cs,
-                                                batch_size=env_chunk))
-        env_out = jax.tree.map(np.asarray, env_fn(flat_cfgs))
+        env_out = jax.tree.map(np.asarray,
+                               cached["env_fn"](tps, tps_t, flat_cfgs,
+                                                env_chunk))
         for k_name, arr in env_out.items():
             outs[k_name] = arr.reshape((s_dim, c_dim) + arr.shape[1:])
 

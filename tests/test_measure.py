@@ -79,3 +79,54 @@ def test_mc_measure_agrees_with_exact():
     sz_mean, sz_err = out.stats["sz"]
     diff = np.abs(sz_mean - res_exact.values["sz"])
     assert np.all(diff < 6 * np.maximum(sz_err, 2e-2)), (diff, sz_err)
+
+
+def test_measure_exec_cache_reuse_and_isolation():
+    """Repeated measure() calls reuse cross-call-cached executables (the
+    state is an argument, not a baked constant) and model-value changes
+    miss the cache: (a) same inputs -> bit-identical stats, (b) a
+    different state through the SAME cache entry changes the answer,
+    (c) a different model with identical shapes gets its OWN entry (stale
+    baked model constants would corrupt the energy)."""
+    from peps_tpu.algorithm.measure import _EXEC_CACHE
+
+    _EXEC_CACHE.clear()
+    model = spin.heisenberg(1.0)
+    xxz = spin.xxz(2.5, 1.0)
+    tps_a = random_tps(jax.random.PRNGKey(5), LY, LX, 2, 2,
+                       dtype=jnp.float64, scale=0.8)
+    tps_b = random_tps(jax.random.PRNGKey(6), LY, LX, 2, 2,
+                       dtype=jnp.float64, scale=0.8)
+    c0 = init_configs_occupancy(jax.random.PRNGKey(1), 8, LY, LX,
+                                {0: 3, 1: 3})
+    mp = MeasurementParams(num_samples=10, num_warmup_sweeps=5, nchains=8)
+    r = UpdateRule("exchange")
+
+    def run(tps, m):
+        out = measure(tps, m, mp, CHI, TP, r, c0, jax.random.PRNGKey(7))
+        return float(out.stats["energy"][0])
+
+    e_a = run(tps_a, model)
+    assert len(_EXEC_CACHE) == 1
+    assert run(tps_a, model) == e_a                  # (a) bit-identical
+    e_b = run(tps_b, model)
+    assert len(_EXEC_CACHE) == 1                     # (b) same entry...
+    assert e_b != e_a                                # ...different state
+    # (c) exact sector sums pin correctness per model through the cache
+    cfgs = sector_configs(LY, LX, {0: 3, 1: 3})
+    ex_h = float(exact_sum_measure(tps_a, jnp.asarray(cfgs), model, CHI,
+                                   TP).values["energy"])
+    ex_x = float(exact_sum_measure(tps_a, jnp.asarray(cfgs), xxz, CHI,
+                                   TP).values["energy"])
+    mp_big = MeasurementParams(num_samples=300, num_warmup_sweeps=40,
+                               nchains=16)
+    c1 = init_configs_occupancy(jax.random.PRNGKey(2), 16, LY, LX,
+                                {0: 3, 1: 3})
+    out_h = measure(tps_a, model, mp_big, CHI, TP, r, c1,
+                    jax.random.PRNGKey(9))
+    out_x = measure(tps_a, xxz, mp_big, CHI, TP, r, c1,
+                    jax.random.PRNGKey(9))
+    assert len(_EXEC_CACHE) == 3                     # xxz got its own entry
+    for out, ex in ((out_h, ex_h), (out_x, ex_x)):
+        e, err = out.stats["energy"]
+        assert abs(float(e) - ex) < 5 * max(float(err), 1e-3), (e, ex)
