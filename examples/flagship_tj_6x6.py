@@ -167,21 +167,39 @@ def main(quick=False, resume=False, cpu=False):
                  energies=np.asarray(res.energies), t_su=t_su, t_vmc=t_vmc)
         print(f"checkpoint -> {ckpt}", flush=True)
 
-    t0 = time.time()
+    # energy-pass checkpoint: the flaky device tunnel can kill a multi-
+    # phase run mid-measurement; don't redo a finished phase on resume
     n_meas = 20 if quick else n_meas_full
-    m = measure(lowest_state, gm,
-                MeasurementParams(num_samples=n_meas, num_warmup_sweeps=30,
-                                  nchains=nchains, measure_pair_corr=False,
-                                  eval_chunk=8, chunk_size=5,
-                                  handle_signals=True, progress=True),
-                chi, TruncParams(chi, 1, 1e-6, scheme="sketch"), None,
-                final_configs, jax.random.PRNGKey(9))
-    t_meas = time.time() - t0
-    e_mean, e_err = m.stats["energy"]
-    print(f"measure {n_meas} samples in {t_meas:.0f}s: "
-          f"E = {e_mean:.4f} +- {e_err:.4f} "
-          f"({e_mean / n_sites:.5f} +- {e_err / n_sites:.5f} /site)",
-          flush=True)
+    meas_ckpt = os.path.join(OUT_DIR, "meas_" + name)
+    if resume and os.path.exists(meas_ckpt):
+        z = np.load(meas_ckpt)
+        e_mean, e_err = float(z["e_mean"]), float(z["e_err"])
+        t_meas = float(z["t_meas"])
+
+        class _M:          # stats carrier for the summary section below
+            stats = {"energy": (e_mean, e_err)}
+        m = _M()
+        print(f"resumed measure phase from {meas_ckpt}: "
+              f"E = {e_mean:.4f} +- {e_err:.4f}", flush=True)
+    else:
+        t0 = time.time()
+        m = measure(lowest_state, gm,
+                    MeasurementParams(num_samples=n_meas,
+                                      num_warmup_sweeps=30,
+                                      nchains=nchains,
+                                      measure_pair_corr=False,
+                                      eval_chunk=8, chunk_size=5,
+                                      handle_signals=True, progress=True),
+                    chi, TruncParams(chi, 1, 1e-6, scheme="sketch"), None,
+                    final_configs, jax.random.PRNGKey(9))
+        t_meas = time.time() - t0
+        e_mean, e_err = m.stats["energy"]
+        np.savez(meas_ckpt, e_mean=float(e_mean), e_err=float(e_err),
+                 t_meas=t_meas)
+        print(f"measure {n_meas} samples in {t_meas:.0f}s: "
+              f"E = {e_mean:.4f} +- {e_err:.4f} "
+              f"({e_mean / n_sites:.5f} +- {e_err / n_sites:.5f} /site)",
+              flush=True)
 
     # pair correlators: env-shared graded walkers in both frames (shared
     # row envs; excited-BMPS propagation for the vertical pairs), both
