@@ -61,7 +61,7 @@ def main(quick=False, resume=False, cpu=False):
     nchains = 16 if cpu else 32
     n_iters_full = 60 if cpu else 120
     n_meas_full = 60 if cpu else 100
-    n_pc_full = 12 if cpu else 40
+    n_pc_full = 12 if cpu else 160
 
     # 2-hole doping: holes at (2,2) and (3,2); Neel-ish spin background
     occ0 = (np.indices((ly, lx)).sum(0) % 2 + 1).astype(int)  # 1/2 checker
@@ -208,19 +208,86 @@ def main(quick=False, resume=False, cpu=False):
     # count and bench-scale samples (round-3 ran 8x40 and measured exactly
     # zero support — the reference's flagship diagnostic needs statistics,
     # singlet_pair_correlation_measurement_mixin.h).
+    # The pass is RESUMABLE at chunk granularity (the tunnel drops for
+    # 10-25 min windows): configs are sampled once and saved, then the
+    # env-walker pass runs in chunks whose partial results land on disk.
     t0 = time.time()
     n_pc = 4 if quick else n_pc_full
-    m_pc = measure(lowest_state, gm,
-                   MeasurementParams(num_samples=n_pc, num_warmup_sweeps=10,
-                                     nchains=nchains, measure_pair_corr=True,
-                                     eval_chunk=8, chunk_size=10,
-                                     env_chunk=8,
-                                     handle_signals=True, progress=True),
-                   chi, TruncParams(chi, 1, 1e-6, scheme="sketch"), None,
-                   final_configs, jax.random.PRNGKey(13))
+    pc_trunc = TruncParams(chi, 1, 1e-6, scheme="sketch")
+    pc_cfg_path = os.path.join(OUT_DIR, f"pc{n_pc}_configs_" + name)
+    if resume and os.path.exists(pc_cfg_path):
+        pc_cfgs = np.load(pc_cfg_path)["configs"]      # [S, C, Ly, Lx]
+        print(f"resumed pair-corr configs from {pc_cfg_path}", flush=True)
+    else:
+        from peps_tpu.fermion.vmc import mc_sweep_fermion_shared
+
+        @jax.jit
+        def pc_sample(cfgs, k):
+            def body(carry, _):
+                cfgs, k = carry
+                ks = jax.random.split(k, nchains + 1)
+                cfgs, _, _ = jax.vmap(
+                    mc_sweep_fermion_shared,
+                    in_axes=(None, None, 0, 0, None, None))(
+                    lowest_state, gm.space, cfgs, ks[1:], chi, pc_trunc)
+                return (cfgs, ks[0]), cfgs
+            (cfgs, _), trail = jax.lax.scan(body, (cfgs, k), None,
+                                            length=10 + n_pc)
+            return cfgs, trail[10:]                    # drop warm-up
+
+        _, pc_cfgs = pc_sample(final_configs, jax.random.PRNGKey(13))
+        pc_cfgs = np.asarray(pc_cfgs)
+        np.savez(pc_cfg_path, configs=pc_cfgs)
+        print(f"pair-corr sampling: {n_pc} x {nchains} configs "
+              f"({time.time() - t0:.0f}s) -> {pc_cfg_path}", flush=True)
+
+    from peps_tpu.algorithm.measure_fermion import (
+        graded_env_shared, tj_singlet_pair_corr_graded_colshared,
+        tj_singlet_pair_corr_graded_rowshared)
+
+    @jax.jit
+    def pc_walkers(cs):
+        def one(c):
+            bundle = graded_env_shared(lowest_state, c, gm.space, chi,
+                                       pc_trunc)
+            return (tj_singlet_pair_corr_graded_rowshared(
+                        lowest_state, c, gm.space, chi, pc_trunc,
+                        shared=bundle),
+                    tj_singlet_pair_corr_graded_colshared(
+                        lowest_state, c, gm.space, chi, pc_trunc,
+                        shared=bundle))
+        return jax.lax.map(one, cs, batch_size=8)
+
+    flat = jnp.asarray(pc_cfgs.reshape(-1, ly, lx))
+    pc_chunk = 64
+    n_chunks = -(-flat.shape[0] // pc_chunk)
+    rows_l, cols_l = [], []
+    for ci in range(n_chunks):
+        part = os.path.join(OUT_DIR, f"pc{n_pc}_part{ci:03d}_" + name)
+        if resume and os.path.exists(part):
+            z = np.load(part)
+            rows_l.append(z["rows"]); cols_l.append(z["cols"])
+            continue
+        cs = flat[ci * pc_chunk:(ci + 1) * pc_chunk]
+        r, c = jax.tree.map(np.asarray, pc_walkers(cs))
+        np.savez(part, rows=r, cols=c)
+        rows_l.append(r); cols_l.append(c)
+        print(f"[pair-corr] chunk {ci + 1}/{n_chunks} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+    from peps_tpu.montecarlo.statistics import mean_and_binned_error_batch
+
+    def pc_stats(parts):
+        a = np.concatenate(parts, axis=0)              # [S*C, ...]
+        a = a.reshape((n_pc, nchains) + a.shape[1:])
+        mv, ev = mean_and_binned_error_batch(
+            jnp.asarray(a.reshape(n_pc, nchains, -1)))
+        shape = a.shape[2:]
+        return (np.asarray(mv, np.float64).reshape(shape),
+                np.asarray(ev, np.float64).reshape(shape))
+
+    m.stats["pair_corr_row"] = pc_stats(rows_l)
+    m.stats["pair_corr_col"] = pc_stats(cols_l)
     t_pc = time.time() - t0
-    m.stats.update({k: v for k, v in m_pc.stats.items()
-                    if k.startswith("pair_corr")})
     print(f"pair-corr pass {n_pc} samples x {nchains} chains "
           f"in {t_pc:.0f}s", flush=True)
 
@@ -240,25 +307,31 @@ def main(quick=False, resume=False, cpu=False):
         "wall_meas_s": round(t_meas, 1), "wall_pc_s": round(t_pc, 1),
         "n_meas": n_meas, "n_pc_samples": n_pc * nchains,
     }
-    if "pair_corr_row" in m.stats:
-        pc, pc_err = m.stats["pair_corr_row"]   # [Ly, Lx-1, Lx-1] bond idx
-        # bond-distance decay of <Delta^dag_i Delta_k>, averaged over rows
-        # (entries exist for k > i+1, i.e. non-overlapping bond pairs),
-        # with propagated standard errors
-        nb = lx - 1
+    # bond-distance decay of <Delta^dag_i Delta_k> averaged over lines
+    # (entries exist for |i-k| >= 2, non-overlapping bond pairs), with
+    # propagated standard errors and BOTH triangles (the estimator
+    # collects both hole/pair orientations). 3 significant digits (NOT
+    # fixed decimals: at 2-hole doping the correlators are ~1e-5).
+    def bond_decay(key, nlines, nb):
+        pc, pc_err = m.stats[key]               # [nlines, nb, nb]
         decay, decay_err = {}, {}
         for dist in range(2, nb):
-            idx = [(y, i, i + dist) for y in range(ly)
-                   for i in range(nb - dist)]
+            idx = [(r, i, j) for r in range(nlines)
+                   for i in range(nb) for j in range(nb)
+                   if abs(i - j) == dist]
             vals = np.array([pc[a] for a in idx])
             errs = np.array([pc_err[a] for a in idx])
-            # 3 significant digits (NOT fixed decimals: at 2-hole doping the
-            # correlators are ~1e-5 and fixed rounding would zero them out)
             decay[dist] = float(f"{float(np.mean(vals)):.3g}")
             decay_err[dist] = float(
                 f"{float(np.sqrt(np.sum(errs ** 2)) / len(idx)):.3g}")
-        summary["pair_corr_row_decay"] = decay
-        summary["pair_corr_row_decay_err"] = decay_err
+        return decay, decay_err
+
+    if "pair_corr_row" in m.stats:
+        summary["pair_corr_row_decay"], summary["pair_corr_row_decay_err"] \
+            = bond_decay("pair_corr_row", ly, lx - 1)
+    if "pair_corr_col" in m.stats:
+        summary["pair_corr_col_decay"], summary["pair_corr_col_decay_err"] \
+            = bond_decay("pair_corr_col", lx, ly - 1)
     print(json.dumps(summary), flush=True)
     with open(os.path.join(
             OUT_DIR, "summary_quick.json" if quick
