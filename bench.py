@@ -410,11 +410,12 @@ def _device_alive(timeout_s: int = 150) -> bool:
 
 
 def _device_alive_with_retry() -> bool:
-    """Retry the probe with backoff (~12 min total) so a transient tunnel
-    outage cannot zero a round's bench artifact (it did in round 3)."""
+    """Retry the probe with backoff (~35 min total) so a transient tunnel
+    outage cannot zero a round's bench artifact (it did in round 3; round-4
+    observed dead windows of 10-25 min)."""
     import os
     import sys
-    waits = (30, 60, 120, 240, 240)
+    waits = (30, 60, 120, 240, 300, 300, 300, 300, 300)
     if _device_alive():
         return True
     if os.environ.get("BENCH_NO_RETRY"):
@@ -428,16 +429,44 @@ def _device_alive_with_retry() -> bool:
     return False
 
 
+def _run_with_crash_retries() -> None:
+    """Run the bench body in a SUBPROCESS with up to 3 attempts: the tunnel
+    worker can crash MID-RUN (seen round 4), which wedges the in-process
+    jax client — a fresh process per attempt is the only clean recovery.
+    Forwards the successful attempt's stdout (the JSON line) verbatim."""
+    import os
+    import subprocess
+    import sys
+    attempts = 1 if os.environ.get("BENCH_NO_RETRY") else 3
+    for i in range(attempts):
+        r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                            "--inner"], capture_output=True, text=True,
+                           timeout=7200)
+        sys.stderr.write(r.stderr[-4000:])
+        if r.returncode == 0 and '"metric"' in r.stdout:
+            sys.stdout.write(r.stdout)
+            return
+        print(f"bench attempt {i + 1}/{attempts} failed "
+              f"(rc={r.returncode}); tail: {r.stdout[-300:]!r}",
+              file=sys.stderr, flush=True)
+        if i + 1 < attempts:
+            time.sleep(240)
+    print(json.dumps({
+        "metric": "vmc_full_train_steps_per_sec",
+        "value": 0.0,
+        "unit": "steps/sec/chip",
+        "vs_baseline": 0.0,
+        "error": "device backend unreachable or crashed mid-run on every "
+                 "attempt (axon TPU tunnel; probed with ~35 min backoff, "
+                 "3 full-run attempts). Last measured values are recorded "
+                 "in README.md 'Benchmark' and BENCH-local runs."}))
+
+
 if __name__ == "__main__":
-    if not _device_alive_with_retry():
-        print(json.dumps({
-            "metric": "vmc_full_train_steps_per_sec",
-            "value": 0.0,
-            "unit": "steps/sec/chip",
-            "vs_baseline": 0.0,
-            "error": "device backend unreachable (axon TPU tunnel worker "
-                     "down; first device op hangs; retried with backoff "
-                     "for ~12 min). Last measured values are recorded in "
-                     "README.md 'Benchmark' and BENCH-local runs."}))
-        raise SystemExit(0)
-    main()
+    import sys as _sys
+    if "--inner" in _sys.argv[1:]:
+        if not _device_alive_with_retry():
+            raise SystemExit(3)
+        main()
+    else:
+        _run_with_crash_retries()
