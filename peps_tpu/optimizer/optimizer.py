@@ -72,6 +72,12 @@ class MinSRParams:
     """Chen & Heyl minimal-norm SR (reference: minsr_tmatrix.h/minsr_eigensolve.h)."""
     diag_shift: float = 1e-8
     pseudo_inverse_cutoff: float = 1e-8  # soft cutoff l^5/(l^6 + c^6)
+    # > 0: matrix-free Krylov path — the [Ns, Ns] Gram is never formed and
+    # every matvec distributes over the sample-sharded mesh; the TPU-native
+    # replacement for the reference's ScaLAPACK "Path A" distributed
+    # eigensolve (minsr_scalapack.h:8). krylov_iters >= Ns reproduces the
+    # dense eigh path exactly (see optimizer/krylov.py).
+    krylov_iters: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -578,6 +584,14 @@ def iterative_optimize(state: jnp.ndarray,
                     sr_iters = int(res.iterations)
                     sr_res = float(res.residual_norm)
                     few_iters = sr_iters <= sp.sr_min_iters_suspicious
+                elif alg.krylov_iters > 0:
+                    from peps_tpu.optimizer.krylov import (
+                        minsr_krylov_natural_gradient)
+                    nat = minsr_krylov_natural_gradient(
+                        ev.o_samples, ev.e_samples,
+                        alg.pseudo_inverse_cutoff, alg.krylov_iters,
+                        state.shape)
+                    few_iters = False
                 else:
                     nat = minsr_natural_gradient(ev, alg, state.shape)
                     few_iters = False   # eigensolve: no CG-iteration signal
