@@ -219,10 +219,14 @@ def main(quick=False, resume=False, cpu=False):
         pc_cfgs = np.load(pc_cfg_path)["configs"]      # [S, C, Ly, Lx]
         print(f"resumed pair-corr configs from {pc_cfg_path}", flush=True)
     else:
+        from functools import partial
+
         from peps_tpu.fermion.vmc import mc_sweep_fermion_shared
 
-        @jax.jit
-        def pc_sample(cfgs, k):
+        # block-resumable sampling: one long chained scan is a single
+        # dispatch the tunnel can kill; ~20-sweep blocks are durable
+        @partial(jax.jit, static_argnames=("warm", "ns"))
+        def pc_sample_block(cfgs, k, warm, ns):
             def body(carry, _):
                 cfgs, k = carry
                 ks = jax.random.split(k, nchains + 1)
@@ -232,11 +236,30 @@ def main(quick=False, resume=False, cpu=False):
                     lowest_state, gm.space, cfgs, ks[1:], chi, pc_trunc)
                 return (cfgs, ks[0]), cfgs
             (cfgs, _), trail = jax.lax.scan(body, (cfgs, k), None,
-                                            length=10 + n_pc)
-            return cfgs, trail[10:]                    # drop warm-up
+                                            length=warm + ns)
+            return cfgs, trail[warm:]
 
-        _, pc_cfgs = pc_sample(final_configs, jax.random.PRNGKey(13))
-        pc_cfgs = np.asarray(pc_cfgs)
+        blk = 20
+        n_blocks = -(-n_pc // blk)
+        cfgs_cur, trails = final_configs, []
+        for bi in range(n_blocks):
+            bpath = os.path.join(OUT_DIR,
+                                 f"pc{n_pc}_cfgblk{bi:02d}_" + name)
+            ns = min(blk, n_pc - bi * blk)
+            if resume and os.path.exists(bpath):
+                z = np.load(bpath)
+                trails.append(z["trail"])
+                cfgs_cur = jnp.asarray(z["last"])
+                continue
+            cfgs_cur, trail = pc_sample_block(
+                cfgs_cur, jax.random.fold_in(jax.random.PRNGKey(13), bi),
+                10 if bi == 0 else 0, ns)
+            trail = np.asarray(trail)
+            np.savez(bpath, trail=trail, last=np.asarray(cfgs_cur))
+            trails.append(trail)
+            print(f"[pair-corr] sample block {bi + 1}/{n_blocks} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+        pc_cfgs = np.concatenate(trails, axis=0)
         np.savez(pc_cfg_path, configs=pc_cfgs)
         print(f"pair-corr sampling: {n_pc} x {nchains} configs "
               f"({time.time() - t0:.0f}s) -> {pc_cfg_path}", flush=True)
