@@ -180,8 +180,10 @@ def main(n_more=160, cpu=False):
 if __name__ == "__main__":
     if "cpu" in sys.argv[1:]:
         jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(os.path.dirname(OUT_DIR), "..",
-                                       ".jax_cache"))
+    # persistent compile cache on every backend: retry runs after tunnel
+    # drops re-enter with warm executables
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(OUT_DIR), "..",
+                                   ".jax_cache"))
     nums = [a for a in sys.argv[1:] if a.isdigit()]
     main(n_more=int(nums[0]) if nums else 160, cpu="cpu" in sys.argv[1:])
