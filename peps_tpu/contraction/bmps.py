@@ -30,7 +30,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from peps_tpu.linalg import TruncParams, lq, truncated_svd
+from peps_tpu.linalg import TruncParams, lq, qr_safe, truncated_svd
 
 
 def e0(n: int, dtype) -> jnp.ndarray:
@@ -480,8 +480,9 @@ def compress_variational(mps: jnp.ndarray, chi: int, trunc: TruncParams,
                                  rights[x + 1])
                 if x < lx - 1:
                     # move the orthogonality center right: keep Q, push R
-                    q, r = jnp.linalg.qr(blk.reshape(chi_ * dv, chi_),
-                                         mode="reduced")
+                    # (qr_safe: padded blocks are rank-deficient and the
+                    # builtin QR derivative NaNs on singular R)
+                    q, r = qr_safe(blk.reshape(chi_ * dv, chi_))
                     k = q.shape[1]
                     if k < chi_:
                         q = jnp.pad(q, ((0, 0), (0, chi_ - k)))

@@ -44,8 +44,11 @@ class TruncParams:
 
 
 def _svd(mat: jax.Array):
-    """SVD wrapper; full_matrices=False."""
-    return jnp.linalg.svd(mat, full_matrices=False)
+    """SVD wrapper; full_matrices=False. Routed through the degenerate-safe
+    custom VJP (svd_safe): padded/truncated matrices carry REPEATED zero
+    singular values, for which the builtin SVD derivative's 1/(s_i^2-s_j^2)
+    factors are NaN. Forward values are identical."""
+    return svd_safe(mat)
 
 
 def svd_mask(s: jax.Array, params: TruncParams) -> jax.Array:
@@ -101,14 +104,35 @@ def truncated_svd(mat: jax.Array, params: TruncParams):
 
 
 def lq(mat: jax.Array):
-    """LQ decomposition: mat = L @ Q with Q having orthonormal rows.
+    """LQ-type factorization: mat = L @ Q with Q having orthonormal rows.
 
     Returns (l, q) with l: [m, k], q: [k, n], k = min(m, n).
+
+    Factored through the degenerate-safe SVD (L = U S, Q = Vh) rather than
+    QR of the transpose: JAX's QR derivative is unimplemented for tall
+    inputs (wide transposed QR) and NaNs for rank-deficient ones
+    (triangular_solve against a singular R) — and zero-padded boundary
+    embeddings make rank deficiency the NORM here. Any row-orthonormal Q
+    is a valid canonicalization gauge, so downstream results are
+    unchanged; this keeps every BMPS compression scheme end-to-end
+    differentiable (AD holes / exact-sum gradients).
+
+    Sub-numerical-rank directions are masked to EXACT zeros: LAPACK fills
+    the null-space rows of Vh with arbitrary orthonormal vectors, which
+    (unlike QR of a padded matrix, whose null slots stay exactly zero)
+    would leak O(1) junk into padded bond slots. Downstream punch-hole
+    estimators divide by the amplitude, so for near-forbidden
+    configurations that junk amplifies by the amplitude ratio (observed:
+    O tensors at 1e28 for weight-1e-59 configs). Masking restores the
+    exact-zero structure; the discarded directions carry relative weight
+    below eps*max(m,n), the same order as QR roundoff.
     """
-    # mat^dag = Q~ R~ with Q~^dag Q~ = I  =>  mat = R~^dag Q~^dag.
-    # Set L = R~^dag, Q = Q~^dag; then Q Q^dag = I (orthonormal rows).
-    q_t, r_t = jnp.linalg.qr(mat.conj().T, mode="reduced")
-    return r_t.conj().T, q_t.conj().T
+    u, s, vh = svd_safe(mat)
+    tol = jnp.finfo(s.dtype).eps * max(mat.shape)
+    mask = (s > tol * jnp.max(s)).astype(s.dtype)
+    mask = jax.lax.stop_gradient(mask)
+    return u * (s * mask)[None, :].astype(u.dtype), \
+        vh * mask[:, None].astype(vh.dtype)
 
 
 def blq(mat: jax.Array):
@@ -120,6 +144,19 @@ def blq(mat: jax.Array):
 def qr(mat: jax.Array):
     """Reduced QR; returns (q, r)."""
     return jnp.linalg.qr(mat, mode="reduced")
+
+
+def qr_safe(mat: jax.Array):
+    """QR-type factorization mat = Q R with Q column-orthonormal, via the
+    degenerate-safe SVD (Q = U, R = S Vh). Differentiable for
+    rank-deficient inputs, where the builtin QR derivative NaNs
+    (triangular_solve against a singular R). Sub-numerical-rank
+    directions are masked to exact zeros (see lq)."""
+    u, s, vh = svd_safe(mat)
+    tol = jnp.finfo(s.dtype).eps * max(mat.shape)
+    mask = jax.lax.stop_gradient((s > tol * jnp.max(s)).astype(s.dtype))
+    return u * mask[None, :].astype(u.dtype), \
+        (s * mask)[:, None].astype(u.dtype) * vh
 
 
 def safe_inverse(x: jax.Array, tol: float = 1e-10) -> jax.Array:
@@ -172,7 +209,10 @@ def _svd_safe_bwd(res, cotangents):
     m, n = shape[-2], shape[-1]
     k = s.shape[-1]
     s2 = s * s
-    eps = 1e-12 * jnp.maximum(jnp.max(s2), 1e-300)
+    # Floor at the smallest NORMAL positive value: XLA flushes denormals to
+    # zero on CPU and TPU, so 1e-12 * (a tiny s2 max) can underflow to 0.0
+    # exactly and turn f into 0/0 = NaN for degenerate/zero matrices.
+    eps = jnp.maximum(1e-12 * jnp.max(s2), jnp.finfo(s.dtype).tiny)
     diff = s2[..., None, :] - s2[..., :, None]          # [k, k]
     f = diff / (diff * diff + eps)                       # regularized 1/diff
     f = f * (1.0 - jnp.eye(k, dtype=f.dtype))

@@ -320,6 +320,88 @@ def test_graded_pair_corr_shared_bundle_equivalence():
         np.testing.assert_array_equal(own, shared)
 
 
+def test_exact_sum_pair_corr_graded_matches_ed():
+    """exact_sum_pair_corr_graded (sector-weighted walker tables) vs an
+    independent second-quantized oracle: the exact snake-order coefficient
+    vector with Delta^dag Delta matrix elements from explicit mode algebra."""
+    from peps_tpu.algorithm.exact_measure import exact_sum_pair_corr_graded
+    from peps_tpu.algorithm.exact_sum import sector_configs
+    from peps_tpu.fermion.exact import exact_coefficients, snake_order
+    from peps_tpu.models.fermion import tj_model
+    from tests.test_fermion_vmc import su_state
+
+    model = tj_model(t=3.0, j=1.0)
+    ly, lx = 2, 4
+    occ0 = np.array([[1, 2, 1, 0], [2, 1, 2, 0]])   # 3 up, 3 dn, 2 holes
+    tps, space = su_state(model, ly, lx, 4, occ0, sched=((40, 0.15),))
+    chi = 16
+    tp = TruncParams(chi, 1, 0.0)
+    configs = sector_configs(ly, lx, {0: 2, 1: 3, 2: 3})
+
+    got, z = exact_sum_pair_corr_graded(tps, jnp.asarray(configs), space,
+                                        chi, tp, frames=("row",))
+    assert z > 0
+
+    # oracle: psi over the sector from the exact snake-order coefficient
+    # tensor; <psi|Delta^dag_a Delta_b|psi> by explicit mode algebra in the
+    # same snake order.
+    c = np.asarray(exact_coefficients(tps, space.phys_parity,
+                                      space.bond_parity))
+    seq = snake_order(ly, lx)
+    snake_pos = np.zeros((ly, lx), int)
+    for p, (y, x) in enumerate(seq):
+        snake_pos[y, x] = p
+    digits = [tuple(int(cfg[y, x]) for (y, x) in seq) for cfg in configs]
+    v = np.array([c[dgt] for dgt in digits])
+    index_of = {dgt: n for n, dgt in enumerate(digits)}
+    norm = float(v @ v)
+    assert norm > 0
+
+    def mode(y, x, sp):
+        return 2 * snake_pos[y, x] + sp
+
+    checked = 0
+    for y in range(ly):
+        for (i, k) in [(0, 2), (2, 0)]:
+            sites4 = ((y, i), (y, i + 1), (y, k), (y, k + 1))
+            (y1, x1), (y2, x2), (y3, x3), (y4, x4) = sites4
+            acc = 0.0
+            for n, cfg in enumerate(configs):
+                occ = _config_to_occ(np.asarray(cfg), N_UP, N_DN, False,
+                                     order="snake")
+                for sa, ca in ((0, 1.0), (1, -1.0)):
+                    for sb, cb in ((0, 1.0), (1, -1.0)):
+                        ops = [("cdag", mode(y2, x2, 1 - sa)),
+                               ("cdag", mode(y1, x1, sa)),
+                               ("c", mode(y3, x3, sb)),
+                               ("c", mode(y4, x4, 1 - sb))]
+                        r = _apply_ops(occ, ops)
+                        if r is None:
+                            continue
+                        sgn, occ_p = r
+                        states = []
+                        ok = True
+                        for m in range(ly * lx):
+                            key = (int(occ_p[2 * m]), int(occ_p[2 * m + 1]))
+                            s = {(0, 0): 0, (1, 0): 1, (0, 1): 2}.get(key)
+                            if s is None:
+                                ok = False
+                                break
+                            states.append(s)
+                        if not ok:
+                            continue
+                        np_row = index_of.get(tuple(states))
+                        if np_row is None:
+                            continue
+                        acc += 0.5 * ca * cb * sgn * v[np_row] * v[n]
+            want = acc / norm
+            assert abs(got["row"][y, i, k] - want) < 1e-7 * max(
+                1.0, abs(want)), (y, i, k, got["row"][y, i, k], want)
+            if abs(want) > 1e-10:
+                checked += 1
+    assert checked >= 2, "oracle trivially zero almost everywhere"
+
+
 def test_graded_pair_corr_colshared_matches_full_recompute():
     """The env-shared COLUMN-frame graded walker (excited-BMPS propagation)
     equals the full-recompute graded estimator entry for entry (the
