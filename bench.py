@@ -467,6 +467,13 @@ if __name__ == "__main__":
     if "--inner" in _sys.argv[1:]:
         if not _device_alive_with_retry():
             raise SystemExit(3)
+        # persistent compile cache: a crash-retry attempt (fresh process)
+        # re-enters with the prior attempt's executables already built
+        import os as _os
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                          ".jax_cache"))
         main()
     else:
         _run_with_crash_retries()
