@@ -449,6 +449,19 @@ def _run_with_crash_retries() -> None:
         print(f"bench attempt {i + 1}/{attempts} failed "
               f"(rc={r.returncode}); tail: {r.stdout[-300:]!r}",
               file=sys.stderr, flush=True)
+        # defensive: if the failure smells like a poisoned persistent
+        # compile-cache entry (partial write by a crashed worker), wipe the
+        # cache so the next attempt recompiles from scratch instead of
+        # re-reading the bad artifact on every retry
+        low = (r.stderr or "").lower()
+        if any(s in low for s in ("deserializ", "cache_entry", "corrupt",
+                                  "failed to load compilation cache")):
+            import shutil
+            cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+            shutil.rmtree(cache, ignore_errors=True)
+            print("cleared .jax_cache/ (cache-read error in stderr)",
+                  file=sys.stderr, flush=True)
         if i + 1 < attempts:
             time.sleep(240)
     print(json.dumps({

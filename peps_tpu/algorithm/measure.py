@@ -14,9 +14,11 @@ accumulation along rows (the reference's BMPSWalker excited-state propagation,
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 import signal
 import time
+import types
 from typing import Callable, NamedTuple
 
 import jax
@@ -137,6 +139,98 @@ def _exec_fingerprint(*trees) -> str:
             arr = np.asarray(leaf)
             h.update(str((arr.shape, str(arr.dtype))).encode())
             h.update(arr.tobytes())
+    return h.hexdigest()
+
+
+def _fp_value(v, h, seen) -> None:
+    """Feed one captured value into the hash, recursing through containers,
+    dataclasses and nested function closures. Unknown object types hash
+    their __dict__ (if any) plus their type name, so a constants-bearing
+    object that slips through still perturbs the key."""
+    if isinstance(v, (types.ModuleType, type)):
+        h.update(getattr(v, "__name__", str(v)).encode())
+        return
+    if callable(v) and hasattr(v, "__code__"):
+        _fp_callable(v, h, seen)
+        return
+    if isinstance(v, (jnp.ndarray, np.ndarray, np.generic)):
+        arr = np.asarray(v)
+        h.update(str((arr.shape, str(arr.dtype))).encode())
+        h.update(arr.tobytes())
+        return
+    if v is None or isinstance(v, (bool, int, float, complex, str, bytes)):
+        h.update(repr(v).encode())
+        return
+    if id(v) in seen:       # containers/objects can be cyclic
+        return
+    seen.add(id(v))
+    if isinstance(v, (tuple, list)):
+        h.update(b"[")
+        for x in v:
+            _fp_value(x, h, seen)
+        h.update(b"]")
+        return
+    if isinstance(v, dict):
+        for k in sorted(v, key=repr):
+            h.update(repr(k).encode())
+            _fp_value(v[k], h, seen)
+        return
+    if dataclasses.is_dataclass(v):
+        h.update(type(v).__name__.encode())
+        for f in dataclasses.fields(v):
+            h.update(f.name.encode())
+            _fp_value(getattr(v, f.name), h, seen)
+        return
+    h.update(type(v).__name__.encode())
+    d = getattr(v, "__dict__", None)
+    if d:
+        _fp_value(d, h, seen)
+    elif hasattr(v, "_asdict"):             # NamedTuple instances
+        _fp_value(v._asdict(), h, seen)
+
+
+def _fp_callable(fn, h, seen) -> None:
+    """Hash a function's bytecode, constants, defaults, and — crucially —
+    every value captured in its closure cells, recursively."""
+    if id(fn) in seen:
+        return
+    seen.add(id(fn))
+    if isinstance(fn, functools.partial):
+        _fp_value(fn.func, h, seen)
+        _fp_value(fn.args, h, seen)
+        _fp_value(fn.keywords, h, seen)
+        return
+    code = getattr(fn, "__code__", None)
+    if code is not None:
+        h.update(code.co_code)
+        _fp_value(code.co_consts, h, seen)
+    for cell in (getattr(fn, "__closure__", None) or ()):
+        try:
+            _fp_value(cell.cell_contents, h, seen)
+        except ValueError:      # empty cell
+            continue
+    for dv in (getattr(fn, "__defaults__", None) or ()):
+        _fp_value(dv, h, seen)
+
+
+def _registry_fingerprint(registry) -> str:
+    """Fingerprint of the full observable registry BY CONSTRUCTION: every
+    constant a compute/coords closure captures is hashed automatically (no
+    manual declaration discipline — the round-4 cache pinned only observable
+    KEYS, so two observables with the same key but different operator
+    constants would silently share a cached executable; see NOTES round-4
+    infra warning). Mechanically guarded by
+    tests/test_measure.py::test_exec_cache_respects_observable_constants."""
+    import hashlib
+    h = hashlib.sha256()
+    seen: set = set()
+    for ob in registry:
+        h.update(ob.key.encode())
+        h.update(repr((ob.needs_envs, ob.uses_stacks,
+                       ob.uses_stacks_t, ob.index_labels)).encode())
+        _fp_callable(ob.compute, h, seen)
+        if ob.coords is not None:
+            _fp_callable(ob.coords, h, seen)
     return h.hexdigest()
 
 
@@ -261,7 +355,7 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
     from functools import partial as _partial
 
     exec_key = (_exec_fingerprint(mt),
-                tuple(ob.key for ob in registry), tps.shape,
+                _registry_fingerprint(registry), tps.shape,
                 str(tps.dtype), chi, repr(trunc), repr(rule), graded,
                 periodic, params.eval_chunk, params.env_chunk,
                 params.sweeps_between_samples, nc)

