@@ -50,6 +50,14 @@ class MCParams:
     # TRG body k times — validate compile time at your lattice size before
     # raising it (the same pathology that forces the host loop).
     fuse_bonds: int = 1
+    # PBC-only: propose/commit bond moves through the multi-scale
+    # trial/commit cache (pbc_trial.py — the reference's
+    # BeginTrialWithReplacement/CommitTrial, trg_contractor.h:350-421)
+    # instead of re-coarse-graining the whole torus per bond. Frozen-map
+    # proposal semantics (the OBC BMPS env-reuse analogue), projectors
+    # refreshed from the current configuration every sweep. None = auto:
+    # on. False falls back to the full-recompute sweeps (the oracle).
+    trial_sweep: bool | None = None
 
 
 def _use_host_pbc(params_host_sweep, bc) -> bool:
@@ -113,14 +121,18 @@ def _pbc_eval_batch(tps, configs, model, chi, trunc, with_grad, eval_chunk,
 
 def _mc_collect_host_pbc(tps, configs, key, model, chi, trunc, rule,
                          n_samples, sweeps_between, with_sr,
-                         with_grad=True, eval_chunk=None, fuse_bonds=1):
+                         with_grad=True, eval_chunk=None, fuse_bonds=1,
+                         trial_sweep=None):
     """Host-driven PBC sample collection: same sweep trajectories and
     return structure as the scanned _mc_collect (PERIODIC branch), with
-    the bond loop dispatched per bond from the host."""
+    the bond loop dispatched per bond from the host — or, by default,
+    through the trial/commit cache (two dispatches per sweep)."""
     import numpy as np
 
-    from peps_tpu.montecarlo.sweep_pbc import mc_sweep_pbc_host
+    from peps_tpu.montecarlo.sweep_pbc import (mc_sweep_pbc_host,
+                                               mc_sweep_pbc_trial)
 
+    use_trial = True if trial_sweep is None else trial_sweep
     nc = configs.shape[0]
     acc = tri = 0
     outs_list = []
@@ -128,9 +140,13 @@ def _mc_collect_host_pbc(tps, configs, key, model, chi, trunc, rule,
         for _ in range(sweeps_between):
             keys = jax.random.split(key, nc + 1)
             key = keys[0]
-            configs, _, _, a, t = mc_sweep_pbc_host(
-                tps, configs, keys[1:], chi, trunc, rule,
-                fuse_bonds=fuse_bonds)
+            if use_trial:
+                configs, _, a, t = mc_sweep_pbc_trial(
+                    tps, configs, keys[1:], chi, trunc, rule)
+            else:
+                configs, _, _, a, t = mc_sweep_pbc_host(
+                    tps, configs, keys[1:], chi, trunc, rule,
+                    fuse_bonds=fuse_bonds)
             acc += int(jnp.sum(a))
             tri += int(jnp.sum(t))
         step_out = _pbc_eval_batch(tps, configs, model, chi, trunc,
@@ -311,7 +327,7 @@ def mc_energy_grad(tps, configs, key, model: ModelTensors, chi: int,
             tps, configs, key, model, chi, trunc, rule,
             params.num_samples, params.sweeps_between_samples,
             with_sr_buffers, eval_chunk=params.eval_chunk,
-            fuse_bonds=params.fuse_bonds)
+            fuse_bonds=params.fuse_bonds, trial_sweep=params.trial_sweep)
     else:
         configs, key, acc, tri, outs = _mc_collect(
             tps, configs, key, model, chi, trunc, rule,

@@ -261,6 +261,9 @@ class MeasurementParams:
     # PBC host-sweep only: bond decisions fused per executable (see
     # MCParams.fuse_bonds)
     fuse_bonds: int = 1
+    # PBC-only: sweep through the trial/commit cache (see
+    # MCParams.trial_sweep); None = auto: on
+    trial_sweep: bool | None = None
 
 
 def measure(tps: jnp.ndarray, model, params: MeasurementParams,
@@ -441,7 +444,21 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
     host_pbc = periodic and _use_host_pbc(params.host_sweep,
                                           BoundaryCondition.PERIODIC)
     if host_pbc:
-        from peps_tpu.montecarlo.sweep_pbc import mc_sweep_pbc_host
+        from peps_tpu.montecarlo.sweep_pbc import (mc_sweep_pbc_host,
+                                                   mc_sweep_pbc_trial)
+        use_trial = (True if params.trial_sweep is None
+                     else params.trial_sweep)
+
+        def _one_sweep(cfgs, keys):
+            if use_trial:
+                cfgs, _, a, t = mc_sweep_pbc_trial(
+                    tps, cfgs, keys, chi, trunc, rule)
+            else:
+                cfgs, _, _, a, t = mc_sweep_pbc_host(
+                    tps, cfgs, keys, chi, trunc, rule,
+                    fuse_bonds=params.fuse_bonds)
+            return cfgs, a, t
+
         eval_c = params.eval_chunk or 4
         per_sample_batch = jax.jit(lambda cs: jax.lax.map(
             lambda c: per_sample(tps, tps_t, c), cs, batch_size=eval_c))
@@ -454,9 +471,7 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
                 for _ in range(params.sweeps_between_samples):
                     ks = jax.random.split(k, nc + 1)
                     k = ks[0]
-                    cfgs, _, _, a, t = mc_sweep_pbc_host(
-                        tps, cfgs, ks[1:], chi, trunc, rule,
-                        fuse_bonds=params.fuse_bonds)
+                    cfgs, a, t = _one_sweep(cfgs, ks[1:])
                     acc = acc + jnp.sum(a)
                     tri = tri + jnp.sum(t)
                 outs_l.append(jax.tree.map(np.asarray,
@@ -466,12 +481,16 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
 
     # warm-up
     if host_pbc:
-        for _ in range(params.num_warmup_sweeps):
+        # same key stream as warm_scan_fn: ONE outer split, then the carried
+        # key is re-split per sweep exactly like sweep_all (so the host path
+        # reproduces the scanned path's trajectories bit-for-bit —
+        # regression: test_pbc_host_collect_matches_scanned)
+        if params.num_warmup_sweeps > 0:
             key, ks = jax.random.split(key)
-            kc = jax.random.split(ks, nc + 1)
-            configs, _, _, _, _ = mc_sweep_pbc_host(
-                tps, configs, kc[1:], chi, trunc, rule,
-                fuse_bonds=params.fuse_bonds)
+            for _ in range(params.num_warmup_sweeps):
+                kc = jax.random.split(ks, nc + 1)
+                ks = kc[0]
+                configs, _, _ = _one_sweep(configs, kc[1:])
     else:
         # one jitted (and cross-call-cached) scan over all warm-up sweeps:
         # calling the sweep eagerly costs ~27 s/sweep in trace overhead at

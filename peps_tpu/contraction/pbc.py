@@ -198,14 +198,17 @@ def _triple_columns(tn: jnp.ndarray) -> jnp.ndarray:
 
 
 def _pair_truncate(tn: jnp.ndarray, chi: int, trunc: TruncParams,
-                   inv_relative_eps: float) -> jnp.ndarray:
+                   inv_relative_eps: float, return_projs: bool = False):
     """Contract column pairs and truncate the doubled vertical bonds, WITHOUT
     materializing the merged pair tensor.
 
     The merged tensor m[y, x, (u1 u2), l, (d1 d2), r] of a late RG stage is
     [2, 1, chi^2, chi, chi^2, chi] — 4.3 GB/chain at chi=32 — so both the
     bond Grams and the projector absorption are contracted directly against
-    the unmerged pair (a, b). Returns [n, nx/2, chi, l, chi, r]."""
+    the unmerged pair (a, b). Returns [n, nx/2, chi, l, chi, r]; with
+    return_projs=True additionally returns the absorb-ready projector grids
+    (pb_used [n, nx/2, chi, du, dU], pt_used [n, nx/2, dd, dD, chi]) indexed
+    by OUTPUT node — the trial/commit cache (pbc_trial.py) stores these."""
     a = tn[:, 0::2]                            # [y, x, u, l, d, k]
     b = tn[:, 1::2]                            # [y, x, U, k, D, r]
     ac, bc = a.conj(), b.conj()
@@ -239,7 +242,10 @@ def _pair_truncate(tn: jnp.ndarray, chi: int, trunc: TruncParams,
     # p_bot[y, x]: [chi, (u1 u2)] absorbed into the u legs of pair (y+1, x).
     pb = jnp.roll(p_bot, 1, axis=0).reshape(*p_bot.shape[:2], chi_eff, du, dU)
     pt = p_top.reshape(*p_top.shape[:2], dd, dD, chi_eff)
-    return jax.vmap(jax.vmap(_absorb_pair))(pb, a, b, pt)
+    out = jax.vmap(jax.vmap(_absorb_pair))(pb, a, b, pt)
+    if return_projs:
+        return out, (pb, pt)
+    return out
 
 
 def _absorb_pair(pb, a, b, pt):
@@ -261,11 +267,14 @@ def _absorb_pair(pb, a, b, pt):
 
 
 def _truncate_vertical_merged(m: jnp.ndarray, chi: int, trunc: TruncParams,
-                              inv_relative_eps: float) -> jnp.ndarray:
+                              inv_relative_eps: float,
+                              return_projs: bool = False):
     """Insert projectors on every vertical bond of a MERGED m
     [n, nx, U, l, D_, r] (U/D_ doubled; the 3-column path, whose merged
     tensor is small enough to materialize) and absorb them, returning
-    [n, nx, chi, l, chi, r]."""
+    [n, nx, chi, l, chi, r]. With return_projs=True additionally returns
+    the absorb-ready (pb_used [n, nx, chi, U], pt_used [n, nx, D_, chi])
+    indexed by output node (for the pbc_trial.py cache)."""
     hi = jax.lax.Precision.HIGHEST
     g_top = jnp.einsum("yxuldr,yxulEr->yxdE", m, m.conj(), precision=hi)
     m2 = jnp.roll(m, -1, axis=0)               # tensor below
@@ -281,6 +290,8 @@ def _truncate_vertical_merged(m: jnp.ndarray, chi: int, trunc: TruncParams,
     p_bot_for_u = jnp.roll(p_bot, 1, axis=0)   # projector for (y, x)'s u leg
     out = jnp.einsum("yxulDr,yxDc->yxulcr", m, p_top)
     out = jnp.einsum("yxku,yxulcr->yxklcr", p_bot_for_u, out)
+    if return_projs:
+        return out, (p_bot_for_u, p_top)
     return out
 
 

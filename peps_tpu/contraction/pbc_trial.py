@@ -1,0 +1,387 @@
+"""Trial/commit machinery for the PBC coarse-graining contractor.
+
+Reference parity: `TRGContractor::BeginTrialWithReplacement` /
+`EvaluateReplacement` / `CommitTrial`
+(`include/qlpeps/two_dim_tn/tensor_network_2d/trg/trg_contractor.h:350-421`)
+— the shadow RG propagation that makes PBC Monte Carlo viable by
+re-propagating only the tensors whose RG ancestry contains a replaced site,
+instead of re-coarse-graining the whole torus per bond decision.
+
+TPU-native design (not a translation):
+
+* The multi-scale cache is a pytree of dense per-stage grids + per-stage
+  projector grids + per-node log-norm grids — one value per chain, batched
+  with `vmap` across Markov chains (the reference keeps per-rank pointer maps,
+  `trg_contractor_impl.h`).
+* Two trial modes:
+  - ``exact``: dirty windows are re-coarse-grained with FRESH bond projectors
+    (the window dilates ±1 row per stage because a projector depends on the
+    tensor row below its bond). This reproduces the full recompute to
+    round-off — the reference's `BeginTrialWithReplacement` semantics, where
+    dirty nodes get fresh SVD splits.
+  - ``frozen``: the cached projectors are REUSED, so the contraction is a
+    fixed multilinear map and the dirty window never dilates (~2 nodes per
+    stage). This is the production sweep path: matmul-only (no SVD/Cholesky
+    in the graph — it batches over chains and scans over bonds without the
+    XLA:TPU TRG compile pathology), ~an order of magnitude fewer FLOPs per
+    proposal. Semantically it is the PBC analogue of the OBC BMPS sweep's
+    environment reuse (`bmps_contractor.h` Replace*Trace through boundary
+    environments frozen from the current configuration): amplitude ratios
+    are formed through one consistent truncated map; the map is re-derived
+    from the current configuration at a configurable refresh cadence.
+* Windows are static-size (per lattice, per bond orientation) blocks with
+  traced offsets; torus wrap-around is handled by modular gather/scatter
+  index arrays, so ONE executable serves every bond position.
+
+Bookkeeping invariant: `logw = sum over stages of sum(lnorms[s])`, and a
+trial carries `dln = sum(new dirty log-norms) - sum(cached dirty log-norms)`,
+so `log|psi_trial| = log|mant_trial| + cache.logw + dln`.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from peps_tpu.contraction.pbc import (_pair_truncate, _transpose_frame,
+                                      _triple_columns,
+                                      _truncate_vertical_merged)
+from peps_tpu.linalg import TruncParams
+
+
+# ---------------------------------------------------------------------------
+# Static plans
+# ---------------------------------------------------------------------------
+
+def stage_plan(ly: int, lx: int):
+    """Static RG plan mirroring contract_pbc's loop: one entry per loop
+    iteration with the entry grid shape, the pairing kind and the output
+    column count (before the frame transpose)."""
+    plan = []
+    n, m = ly, lx
+    while n > 1 or m > 1:
+        if m > 1:
+            if m % 3 == 0 and m % 2 != 0:
+                kind, m2 = "triple", m // 3
+            else:
+                kind, m2 = "pair", m // 2
+        else:
+            kind, m2 = "none", m
+        plan.append({"kind": kind, "n": n, "m": m, "m2": m2})
+        n, m = m2, n
+    return tuple((p["kind"], p["n"], p["m"], p["m2"]) for p in plan)
+
+
+def window_plan(plan, wr0: int, wc0: int, exact: bool):
+    """Static per-stage window extents for a trial whose stage-0 dirty block
+    is [wr0, wc0]. Frozen windows never dilate (projectors cached); exact
+    windows dilate ±1 row per stage (fresh projectors read the row below)."""
+    wps = []
+    wr, wc = wr0, wc0
+    for kind, n, m, m2 in plan:
+        wr, wc = min(wr, n), min(wc, m)
+        if kind == "none":
+            owr, owc, iwr = wr, wc, wr
+        else:
+            g = 2 if kind == "pair" else 3
+            owc = min(m2, wc // g + 1)
+            if exact:
+                owr = min(n, wr + 2)
+                iwr = min(n, owr + 2)
+            else:
+                owr, iwr = wr, wr
+        wps.append({"kind": kind, "n": n, "m": m, "m2": m2,
+                    "wr": wr, "wc": wc, "iwr": iwr, "owr": owr, "owc": owc})
+        wr, wc = owc, owr           # frame transpose swaps the axes
+    return tuple(wps)
+
+
+# ---------------------------------------------------------------------------
+# Modular block gather / scatter
+# ---------------------------------------------------------------------------
+
+def _take2(grid, r0, nr: int, c0, nc: int):
+    n, m = grid.shape[0], grid.shape[1]
+    ri = (r0 + jnp.arange(nr)) % n
+    ci = (c0 + jnp.arange(nc)) % m
+    return grid[ri[:, None], ci[None, :]]
+
+
+def _put2(grid, r0, c0, blk):
+    n, m = grid.shape[0], grid.shape[1]
+    ri = (r0 + jnp.arange(blk.shape[0])) % n
+    ci = (c0 + jnp.arange(blk.shape[1])) % m
+    return grid.at[ri[:, None], ci[None, :]].set(blk)
+
+
+def _overlay(win, blk, lr0, lc0):
+    """Overwrite a sub-block of a window at (traced) local offsets, with
+    modular wrap in local coordinates (the block is contiguous in the
+    window's modular order by construction)."""
+    nr, nc = win.shape[0], win.shape[1]
+    ri = (lr0 + jnp.arange(blk.shape[0])) % nr
+    ci = (lc0 + jnp.arange(blk.shape[1])) % nc
+    return win.at[ri[:, None], ci[None, :]].set(blk)
+
+
+def _normalize_nodes(t):
+    """Per-node normalization identical to contract_pbc's normalize, but
+    returning the per-node log-norm grid [n, m] instead of its sum."""
+    rdt = t.real.dtype if jnp.iscomplexobj(t) else t.dtype
+    nrm = jnp.sqrt(jnp.sum(jnp.abs(t) ** 2, axis=(2, 3, 4, 5),
+                           keepdims=True))
+    nrm = jnp.maximum(nrm, jnp.finfo(rdt).tiny)
+    nrm = jax.lax.stop_gradient(nrm)
+    return t / nrm, jnp.log(nrm)[:, :, 0, 0, 0, 0]
+
+
+# ---------------------------------------------------------------------------
+# Cache
+# ---------------------------------------------------------------------------
+
+class PBCCache(NamedTuple):
+    """Multi-scale contraction cache for one configuration.
+
+    stages[s]: entry grid of plan stage s (normalized, in stage-s frame);
+      stages[-1] is the final [1, 1] grid whose u-d/l-r trace is `mant`.
+    projs[s]: (pb_used, pt_used) absorb-ready projector grids indexed by
+      output node in the PRE-transpose output frame of stage s (None for
+      'none' stages).
+    lnorms[s]: per-node log-norms [n_s, m_s] accumulated when stage-s entry
+      was normalized, stored in the stage-s frame.
+    """
+    stages: tuple
+    projs: tuple
+    lnorms: tuple
+    mant: jnp.ndarray
+    logw: jnp.ndarray
+
+    @property
+    def log_abs(self):
+        rdt = (self.mant.real.dtype if jnp.iscomplexobj(self.mant)
+               else self.mant.dtype)
+        return jnp.log(jnp.maximum(jnp.abs(self.mant),
+                                   jnp.finfo(rdt).tiny)) + self.logw
+
+
+@partial(jax.jit, static_argnames=("chi", "trunc", "inv_relative_eps"))
+def build_cache(tn: jnp.ndarray, chi: int, trunc: TruncParams,
+                inv_relative_eps: float = 1e-12) -> PBCCache:
+    """Run the full coarse-graining RG (identical math to contract_pbc) and
+    record every stage grid, projector grid and log-norm grid."""
+    def ok(n):
+        while n % 2 == 0:
+            n //= 2
+        return n in (1, 3)
+
+    assert ok(tn.shape[0]) and ok(tn.shape[1]), \
+        "PBC contractor requires dims of the form 2^k or 3*2^k"
+    plan = stage_plan(tn.shape[0], tn.shape[1])
+    g, ln = _normalize_nodes(tn)
+    stages, lnorms, projs = [g], [ln], []
+    for kind, n, m, m2 in plan:
+        if kind == "triple":
+            mrg = _triple_columns(g)
+            out, prj = _truncate_vertical_merged(
+                mrg, min(chi, mrg.shape[2]), trunc, inv_relative_eps,
+                return_projs=True)
+        elif kind == "pair":
+            out, prj = _pair_truncate(g, chi, trunc, inv_relative_eps,
+                                      return_projs=True)
+        else:
+            out, prj = g, None
+        out, ln_out = _normalize_nodes(out)
+        g = _transpose_frame(out)
+        stages.append(g)
+        lnorms.append(ln_out.T)
+        projs.append(prj)
+    mant = jnp.einsum("ulul->", g[0, 0])
+    logw = sum(jnp.sum(l) for l in lnorms)
+    return PBCCache(tuple(stages), tuple(projs), tuple(lnorms), mant, logw)
+
+
+# ---------------------------------------------------------------------------
+# Trial
+# ---------------------------------------------------------------------------
+
+class PBCTrial(NamedTuple):
+    """Shadow propagation result (reference: TRGContractor::Trial).
+
+    blocks[s]: (blk, ln_blk, r0, c0) — the would-be stage-(s) entry values
+    on the dirty window, already in the stage-s frame (s = 0 is the raw
+    replaced-and-renormalized sites). proj_blocks[s] is (pb, pt, or0, oc0)
+    in the pre-transpose output frame for exact trials, else None.
+    """
+    mant: jnp.ndarray
+    dln: jnp.ndarray
+    blocks: tuple
+    proj_blocks: tuple
+
+    @property
+    def log_abs_delta_base(self):
+        return self.dln
+
+
+def _absorb_window(pb, a, b, pt):
+    from peps_tpu.contraction.pbc import _absorb_pair
+    return jax.vmap(jax.vmap(_absorb_pair))(pb, a, b, pt)
+
+
+def begin_trial(cache: PBCCache, blk_raw: jnp.ndarray, r0, c0, *, chi: int,
+                trunc: TruncParams, inv_relative_eps: float = 1e-12,
+                exact: bool = False) -> PBCTrial:
+    """Shadow-propagate a window replacement through the cached RG.
+
+    blk_raw [wr, wc, u, l, d, r]: RAW (unnormalized) site tensors replacing
+    lattice sites rows (r0 + i) % ly, cols (c0 + j) % lx. Positions whose
+    tensors are unchanged MUST carry the same raw tensors the cache was
+    built from (so their renormalization reproduces the cached log-norms
+    bit-for-bit); `replace_sites` builds such a block from (tps, config).
+
+    exact=False reuses cached projectors (frozen map, production sweep);
+    exact=True recomputes projectors on the dilated window (reference
+    BeginTrialWithReplacement semantics — equals full recompute to
+    round-off).
+    """
+    ly, lx = cache.stages[0].shape[0], cache.stages[0].shape[1]
+    plan = stage_plan(ly, lx)
+    wps = window_plan(plan, blk_raw.shape[0], blk_raw.shape[1], exact)
+
+    blk, ln_blk = _normalize_nodes(blk_raw)
+    dln = jnp.sum(ln_blk) - jnp.sum(
+        _take2(cache.lnorms[0], r0, blk.shape[0], c0, blk.shape[1]))
+    blocks = [(blk, ln_blk, r0, c0)]
+    proj_blocks = []
+
+    for s, wp in enumerate(wps):
+        kind, n, m, m2 = wp["kind"], wp["n"], wp["m"], wp["m2"]
+        wr, wc = wp["wr"], wp["wc"]
+        iwr, owr, owc = wp["iwr"], wp["owr"], wp["owc"]
+        if kind == "none":
+            out_blk, or0, oc0 = blk, r0, c0
+            prj = None
+        else:
+            g = 2 if kind == "pair" else 3
+            oc0 = c0 // g
+            ic0 = g * oc0
+            if exact:
+                or0 = 0 if owr >= n else (r0 - 1) % n
+                ir0 = 0 if iwr >= n else (or0 - 1) % n
+            else:
+                or0, ir0 = r0, r0
+            iwc = g * owc
+            win = _take2(cache.stages[s], ir0, iwr, ic0, iwc)
+            win = _overlay(win, blk, (r0 - ir0) % n, (c0 - ic0) % m)
+            if exact:
+                if kind == "pair":
+                    full, (pb_f, pt_f) = _pair_truncate(
+                        win, chi, trunc, inv_relative_eps, return_projs=True)
+                else:
+                    mrg = _triple_columns(win)
+                    full, (pb_f, pt_f) = _truncate_vertical_merged(
+                        mrg, min(chi, mrg.shape[2]), trunc,
+                        inv_relative_eps, return_projs=True)
+                if iwr >= n:
+                    # torus rows: slice the out rows out of the full ring
+                    lr = (or0 - ir0) % n
+                    out_blk = _take2(full, lr, owr, 0, owc)
+                    pb = _take2(pb_f, lr, owr, 0, owc)
+                    pt = _take2(pt_f, lr, owr, 0, owc)
+                else:
+                    # interior rows 1..iwr-2 are the valid (non-wrapped) ones
+                    out_blk = full[1:1 + owr]
+                    pb = pb_f[1:1 + owr]
+                    pt = pt_f[1:1 + owr]
+                prj = (pb, pt, or0, oc0)
+            else:
+                pb = _take2(cache.projs[s][0], or0, owr, oc0, owc)
+                pt = _take2(cache.projs[s][1], or0, owr, oc0, owc)
+                if kind == "pair":
+                    out_blk = _absorb_window(pb, win[:, 0::2], win[:, 1::2],
+                                             pt)
+                else:
+                    mrg = _triple_columns(win)
+                    out_blk = jnp.einsum("yxulDr,yxDc->yxulcr", mrg, pt)
+                    out_blk = jnp.einsum("yxku,yxulcr->yxklcr", pb, out_blk)
+                prj = None
+        out_blk, ln_new = _normalize_nodes(out_blk)
+        # cached log-norms of stage s+1 live in the post-transpose frame
+        ln_old = _take2(cache.lnorms[s + 1], oc0, out_blk.shape[1],
+                        or0, out_blk.shape[0]).T
+        dln = dln + jnp.sum(ln_new) - jnp.sum(ln_old)
+        blk = _transpose_frame(out_blk)
+        r0, c0 = oc0, or0
+        blocks.append((blk, ln_new.T, r0, c0))
+        proj_blocks.append(prj)
+
+    mant = jnp.einsum("ulul->", blk[0, 0])
+    return PBCTrial(mant, dln, tuple(blocks), tuple(proj_blocks))
+
+
+def trial_log_abs(cache: PBCCache, trial: PBCTrial):
+    rdt = (trial.mant.real.dtype if jnp.iscomplexobj(trial.mant)
+           else trial.mant.dtype)
+    return jnp.log(jnp.maximum(jnp.abs(trial.mant),
+                               jnp.finfo(rdt).tiny)) + cache.logw + trial.dln
+
+
+def commit_trial(cache: PBCCache, trial: PBCTrial,
+                 accept=None) -> PBCCache:
+    """Swap the trial's dirty windows into the cache (reference:
+    CommitTrial, trg_contractor.h:421). With `accept` (a traced bool), the
+    scatters write back the CURRENT cached values on reject — block-sized
+    selects, never whole-grid ones, so a vmapped conditional commit stays
+    cheap."""
+    stages, lnorms = list(cache.stages), list(cache.lnorms)
+    projs = list(cache.projs)
+    for s, (blk, ln_blk, r0, c0) in enumerate(trial.blocks):
+        if accept is not None:
+            old = _take2(stages[s], r0, blk.shape[0], c0, blk.shape[1])
+            old_ln = _take2(lnorms[s], r0, blk.shape[0], c0, blk.shape[1])
+            blk = jnp.where(accept, blk, old)
+            ln_blk = jnp.where(accept, ln_blk, old_ln)
+        stages[s] = _put2(stages[s], r0, c0, blk)
+        lnorms[s] = _put2(lnorms[s], r0, c0, ln_blk)
+    for s, prj in enumerate(trial.proj_blocks):
+        if prj is None:
+            continue
+        pb, pt, or0, oc0 = prj
+        pbg, ptg = projs[s]
+        if accept is not None:
+            pb = jnp.where(accept, pb,
+                           _take2(pbg, or0, pb.shape[0], oc0, pb.shape[1]))
+            pt = jnp.where(accept, pt,
+                           _take2(ptg, or0, pt.shape[0], oc0, pt.shape[1]))
+        projs[s] = (_put2(pbg, or0, oc0, pb), _put2(ptg, or0, oc0, pt))
+    mant, dln = trial.mant, trial.dln
+    if accept is not None:
+        mant = jnp.where(accept, mant, cache.mant)
+        dln = jnp.where(accept, dln, jnp.zeros_like(dln))
+    return PBCCache(tuple(stages), tuple(projs), tuple(lnorms), mant,
+                    cache.logw + dln)
+
+
+def replace_sites(tps, config, sites, states, r0, c0, wr: int, wc: int):
+    """Build a raw stage-0 replacement block [wr, wc, u, l, d, r] for a
+    window anchored at (r0, c0): every position carries the raw projected
+    tensor tps[y, x, config[y, x]], with `sites` (list of traced (dy, dx)
+    WINDOW-LOCAL offsets) overridden to `states`. Unchanged positions thus
+    reproduce the cached tensors bit-for-bit."""
+    ly, lx = tps.shape[0], tps.shape[1]
+    ri = (r0 + jnp.arange(wr)) % ly
+    ci = (c0 + jnp.arange(wc)) % lx
+    cfg_blk = config[ri[:, None], ci[None, :]]
+    for (dy, dx), st in zip(sites, states):
+        cfg_blk = cfg_blk.at[dy, dx].set(st)
+    return tps[ri[:, None], ci[None, :], cfg_blk]
+
+
+def evaluate_replacement(cache: PBCCache, blk_raw, r0, c0, *, chi,
+                         trunc, inv_relative_eps=1e-12, exact=False):
+    """Read-only trial amplitude (reference: EvaluateReplacement,
+    trg_contractor.h:404). Returns (mant, log_weight)."""
+    t = begin_trial(cache, blk_raw, r0, c0, chi=chi, trunc=trunc,
+                    inv_relative_eps=inv_relative_eps, exact=exact)
+    return t.mant, cache.logw + t.dln

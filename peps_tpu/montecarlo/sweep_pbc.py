@@ -282,6 +282,173 @@ def _pbc_table_bond_chunk(tps, configs, keys, bonds, chi, trunc, d, rule,
                        batch_size=1)
 
 
+# ---------------------------------------------------------------------------
+# Trial/commit PBC sweep (the production TPU path).
+#
+# Reference: TRGContractor::BeginTrialWithReplacement / CommitTrial
+# (trg_contractor.h:350-421) — per bond decision only the influence cone is
+# re-propagated, not the whole torus. Here the proposal replay goes through
+# the FROZEN multi-scale projector cache (pbc_trial.py): the dirty window
+# never dilates (~2 nodes/stage), the graph is matmul-only (so unlike the
+# full TRG it compiles as a lax.scan over bonds and vmaps over chains), and
+# the projector map is re-derived from the current configuration once per
+# sweep. Amplitude-ratio semantics match the OBC BMPS sweep's environment
+# reuse (ratios through one consistent truncated map). exact=True instead
+# re-propagates with fresh projectors (reference trial semantics, equal to
+# full recompute to round-off) — slower, used for parity tests and small
+# lattices.
+# ---------------------------------------------------------------------------
+
+from peps_tpu.contraction.pbc_trial import (begin_trial, build_cache,
+                                            commit_trial, replace_sites,
+                                            trial_log_abs)
+
+
+def _oriented_bonds(ly, lx):
+    """(anchor-site lists) for horizontal then vertical NN bonds, matching
+    _all_nn_bonds order."""
+    h = np.array([[y, x] for y in range(ly) for x in range(lx)],
+                 dtype=np.int32)
+    return h, h.copy()    # anchors are all sites for both orientations
+
+
+def _build_caches(tps, configs, chi, trunc):
+    """Per-chain trial caches, chains mapped at batch 1 (the projector
+    build contains the SVD-bearing TRG graph — see the compile pathology
+    note above mc_sweep_pbc_host)."""
+    return jax.lax.map(
+        lambda c: build_cache(project(tps, c), chi, trunc), configs,
+        batch_size=_pbc_map_batch(tps.shape[0], tps.shape[1]))
+
+
+@_partial(jax.jit, static_argnames=("chi", "trunc", "horizontal", "exact"))
+def _trial_sweep_exchange(tps, caches, configs, keys, anchors, chi, trunc,
+                          horizontal, exact):
+    """Exchange-Metropolis decisions over one bond orientation: ONE
+    executable (lax.scan over bonds, vmap over chains)."""
+    ly, lx = tps.shape[0], tps.shape[1]
+    rdt = tps.real.dtype if jnp.iscomplexobj(tps) else tps.dtype
+    (wr, wc), (dy, dx) = ((1, 2), (0, 1)) if horizontal else ((2, 1), (1, 0))
+
+    def one(cache, config, key, anchor):
+        key, k_pick = jax.random.split(key)
+        y, x = anchor[0], anchor[1]
+        y2, x2 = (y + dy) % ly, (x + dx) % lx
+        c1, c2 = config[y, x], config[y2, x2]
+        blk = replace_sites(tps, config, [(0, 0), (dy, dx)],
+                            [c2, c1], y, x, wr, wc)
+        trial = begin_trial(cache, blk, y, x, chi=chi, trunc=trunc,
+                            exact=exact)
+        la0 = cache.log_abs
+        la1 = trial_log_abs(cache, trial)
+        ratio2 = jnp.exp(2.0 * (la1 - la0))
+        u = jax.random.uniform(k_pick, (), rdt)
+        differ = c1 != c2
+        accept = differ & (u < ratio2)
+        config = jnp.where(
+            accept, config.at[y, x].set(c2).at[y2, x2].set(c1), config)
+        cache = commit_trial(cache, trial, accept=accept)
+        return (cache, config, key, accept.astype(jnp.int32),
+                differ.astype(jnp.int32))
+
+    def body(carry, anchor):
+        caches, configs, keys, acc, tri = carry
+        caches, configs, keys, a, t = jax.vmap(
+            one, in_axes=(0, 0, 0, None))(caches, configs, keys, anchor)
+        return (caches, configs, keys, acc + a, tri + t), None
+
+    nc = configs.shape[0]
+    init = (caches, configs, keys, jnp.zeros((nc,), jnp.int32),
+            jnp.zeros((nc,), jnp.int32))
+    (caches, configs, keys, acc, tri), _ = jax.lax.scan(body, init, anchors)
+    return caches, configs, keys, acc, tri
+
+
+@_partial(jax.jit, static_argnames=("chi", "trunc", "d", "rule",
+                                    "horizontal", "exact"))
+def _trial_sweep_table(tps, caches, configs, keys, anchors, chi, trunc, d,
+                       rule, horizontal, exact):
+    """Full-space (Suwa-Todo) decisions over one bond orientation via d^2
+    vmapped trial replays per bond."""
+    ly, lx = tps.shape[0], tps.shape[1]
+    (wr, wc), (dy, dx) = ((1, 2), (0, 1)) if horizontal else ((2, 1), (1, 0))
+    cmask = rule.mask_array(d)
+    pp, qq = jnp.meshgrid(jnp.arange(d), jnp.arange(d), indexing="ij")
+    pq = jnp.stack([pp.reshape(-1), qq.reshape(-1)], axis=1)
+
+    def one(cache, config, key, anchor):
+        key, k_pick = jax.random.split(key)
+        y, x = anchor[0], anchor[1]
+        y2, x2 = (y + dy) % ly, (x + dx) % lx
+
+        def cand(s):
+            blk = replace_sites(tps, config, [(0, 0), (dy, dx)],
+                                [s[0], s[1]], y, x, wr, wc)
+            return begin_trial(cache, blk, y, x, chi=chi, trunc=trunc,
+                               exact=exact)
+
+        trials = jax.vmap(cand)(pq)
+        las = jax.vmap(lambda t: trial_log_abs(cache, t))(trials)
+        w = jnp.exp(2.0 * (las - jnp.max(las)))
+        c1, c2 = config[y, x], config[y2, x2]
+        cur_idx = (c1 * d + c2).astype(jnp.int32)
+        if cmask is not None:
+            w = w * cmask[cur_idx].astype(w.dtype)
+        new_idx = suwa_todo_pick(w, cur_idx, k_pick)
+        chosen = jax.tree.map(lambda a: a[new_idx], trials)
+        config = config.at[y, x].set((new_idx // d).astype(config.dtype))
+        config = config.at[y2, x2].set((new_idx % d).astype(config.dtype))
+        cache = commit_trial(cache, chosen)
+        return (cache, config, key,
+                (new_idx != cur_idx).astype(jnp.int32),
+                jnp.ones((), jnp.int32))
+
+    def body(carry, anchor):
+        caches, configs, keys, acc, tri = carry
+        caches, configs, keys, a, t = jax.vmap(
+            one, in_axes=(0, 0, 0, None))(caches, configs, keys, anchor)
+        return (caches, configs, keys, acc + a, tri + t), None
+
+    nc = configs.shape[0]
+    init = (caches, configs, keys, jnp.zeros((nc,), jnp.int32),
+            jnp.zeros((nc,), jnp.int32))
+    (caches, configs, keys, acc, tri), _ = jax.lax.scan(body, init, anchors)
+    return caches, configs, keys, acc, tri
+
+
+def mc_sweep_pbc_trial(tps, configs, keys, chi: int, trunc: TruncParams,
+                       rule: UpdateRule, caches=None, exact: bool = False,
+                       return_caches: bool = False):
+    """One full PBC sweep for ALL chains through the trial/commit cache.
+
+    configs: [C, Ly, Lx]; keys: [C]. Bond order matches mc_sweep_pbc /
+    mc_sweep_pbc_host (all horizontal, then all vertical). `caches` (from a
+    previous call with return_caches=True) skips the per-sweep projector
+    refresh — pass them only if a stale frozen map over >1 sweep is
+    acceptable. Returns (configs', keys', acc [C], tri [C]) and, with
+    return_caches=True, the committed caches as a 5th element."""
+    ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
+    if caches is None:
+        caches = _build_caches(tps, configs, chi, trunc)
+    h_anchors, v_anchors = _oriented_bonds(ly, lx)
+    if rule.mode == "exchange":
+        caches, configs, keys, a1, t1 = _trial_sweep_exchange(
+            tps, caches, configs, keys, jnp.asarray(h_anchors), chi, trunc,
+            True, exact)
+        caches, configs, keys, a2, t2 = _trial_sweep_exchange(
+            tps, caches, configs, keys, jnp.asarray(v_anchors), chi, trunc,
+            False, exact)
+    else:
+        caches, configs, keys, a1, t1 = _trial_sweep_table(
+            tps, caches, configs, keys, jnp.asarray(h_anchors), chi, trunc,
+            d, rule, True, exact)
+        caches, configs, keys, a2, t2 = _trial_sweep_table(
+            tps, caches, configs, keys, jnp.asarray(v_anchors), chi, trunc,
+            d, rule, False, exact)
+    out = (configs, keys, a1 + a2, t1 + t2)
+    return out + (caches,) if return_caches else out
+
+
 def mc_sweep_pbc_host(tps, configs, keys, chi: int, trunc: TruncParams,
                       rule: UpdateRule, la0s=None, fuse_bonds: int = 1):
     """One full PBC sweep for ALL chains, host loop over bonds.

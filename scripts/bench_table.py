@@ -18,7 +18,7 @@ from peps_tpu.linalg import TruncParams
 from peps_tpu.models import spin
 from peps_tpu.montecarlo.engine import init_configs_occupancy
 from peps_tpu.montecarlo.sweep import UpdateRule, mc_sweep
-from peps_tpu.montecarlo.sweep_pbc import mc_sweep_pbc_host
+from peps_tpu.montecarlo.sweep_pbc import (mc_sweep_pbc_host, mc_sweep_pbc_trial)
 from peps_tpu.peps import (SimpleUpdateParams, product_peps, simple_update,
                            to_tps)
 
@@ -69,6 +69,11 @@ def measure_row(label, ly, lx, D, chi, bc, quick):
         keys = jax.random.split(keys0, NCH)
         la0s = None
 
+        # Production path (PBC_TRIAL=1, default): the trial/commit cache
+        # (pbc_trial.py) — one projector refresh per sweep + matmul-only
+        # influence-cone replays per bond. PBC_TRIAL=0 measures the
+        # full-recompute host loop (the bit-identical oracle path).
+        trial = os.environ.get("PBC_TRIAL", "1") != "0"
         # fuse_bonds > 1 batches sequential bond decisions into one
         # executable (k-fold fewer dispatches; bit-identical trajectories).
         # Keep k small enough that the unrolled TRG body stays clear of
@@ -78,9 +83,13 @@ def measure_row(label, ly, lx, D, chi, bc, quick):
         def run_k(configs, keys, la0s, k):
             acc = 0.0
             for _ in range(k):
-                configs, keys, la0s, a, _ = mc_sweep_pbc_host(
-                    tps, configs, keys, chi, trunc, rule, la0s,
-                    fuse_bonds=fuse)
+                if trial:
+                    configs, keys, a, _ = mc_sweep_pbc_trial(
+                        tps, configs, keys, chi, trunc, rule)
+                else:
+                    configs, keys, la0s, a, _ = mc_sweep_pbc_host(
+                        tps, configs, keys, chi, trunc, rule, la0s,
+                        fuse_bonds=fuse)
                 acc = acc + jnp.sum(a)
             return configs, keys, la0s, acc
 

@@ -336,7 +336,12 @@ def test_pbc_host_collect_matches_scanned():
 
     evs = {}
     for host in (False, True):
-        mp = MCParams(num_samples=2, nchains=2, host_sweep=host)
+        # trial_sweep=False pins the full-recompute oracle path: the default
+        # trial/commit sweep (pbc_trial.py) uses frozen-map ratios that only
+        # coincide with the full recompute at non-truncating chi (covered by
+        # tests/test_pbc_trial.py).
+        mp = MCParams(num_samples=2, nchains=2, host_sweep=host,
+                      trial_sweep=False)
         ev, cfgs_out, _, _ = mc_energy_grad(
             tps, cfgs, key, mt, chi, tp, rule, mp,
             with_sr_buffers=False, bc=PBC)
@@ -351,7 +356,7 @@ def test_pbc_host_collect_matches_scanned():
     for host in (False, True):
         mp = MeasurementParams(num_samples=3, num_warmup_sweeps=2,
                                nchains=2, measure_offdiag_corr=False,
-                               host_sweep=host)
+                               host_sweep=host, trial_sweep=False)
         m = measure(tps, mt, mp, chi, tp, rule, cfgs,
                     jax.random.PRNGKey(9), bc=PBC)
         stats[host] = m.stats["energy"]
