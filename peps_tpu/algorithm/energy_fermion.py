@@ -81,8 +81,12 @@ class FermionTensors:
         gv = group(model.channels_v)
         gd = group(getattr(model, "channels_d", ()))
         gad = group(getattr(model, "channels_ad", ()))
-        return cls(jnp.asarray(model.n_up, dtype),
-                   jnp.asarray(model.n_dn, dtype),
+        # occupation tables are integers; keep them at the REAL dtype so the
+        # JW string-sign kernels never cast complex -> real (imag is exactly
+        # zero, but the cast is deprecated and hides genuine bugs)
+        rdt = jnp.zeros((), dtype).real.dtype
+        return cls(jnp.asarray(model.n_up, rdt),
+                   jnp.asarray(model.n_dn, rdt),
                    gh["none"], gh["up"], gh["dn"],
                    gv["none"], gv["up"], gv["dn"],
                    None if model.h_site is None else jnp.asarray(model.h_site, dtype),

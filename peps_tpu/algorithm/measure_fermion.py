@@ -28,6 +28,16 @@ from peps_tpu.linalg import TruncParams
 from peps_tpu.tps import project
 
 
+def _estimator_value(val):
+    """Per-sample estimator dtype policy: real states keep real values
+    (standard VMC); complex states keep the FULL complex value — an
+    off-diagonal <Delta^dag(b) Delta(b')> entry is not Hermitian by itself,
+    so its per-sample imaginary part carries physics and must survive to
+    the accumulator (reference two-type matrix compiles these mixins for
+    complex TenElemT too, tests/CMakeLists.txt:59-86)."""
+    return val if jnp.iscomplexobj(val) else jnp.real(val)
+
+
 class GradedEnvShared(NamedTuple):
     """Per-config resources shared by BOTH graded pair-corr walkers (and any
     future graded env observable): the dressed projected network, its full
@@ -351,7 +361,8 @@ def tj_singlet_pair_corr_graded(tps, config, space, chi: int,
         coef_a = jnp.where(sa == 0, 1.0, -1.0)
         coef_b = jnp.where(up_first, 1.0, -1.0)
         val = 0.5 * coef_a * coef_b * sgn.astype(ratio.dtype) * ratio
-        return jnp.where(valid, jnp.real(val), 0.0)
+        return jnp.where(valid, _estimator_value(val),
+                         jnp.zeros((), _estimator_value(val).dtype))
 
     vals = jax.lax.map(lambda args: one(*args), flat, batch_size=64)
     table = vals.reshape(nrows, nb, nb, 2).sum(-1)
@@ -585,12 +596,14 @@ def tj_singlet_pair_corr_graded_colshared(tps, config, space, chi: int,
 
             val = close(0) + close(1)
             valid = b_valid[i, x] & bp_valid[k, x] & (k > i + 1)
-            out = jnp.where(valid, jnp.real(val), 0.0)
+            out = jnp.where(valid, _estimator_value(val),
+                            jnp.zeros((), _estimator_value(val).dtype))
 
             val_rev = close_rev(ex_ud, lex_ud, True, 0) \
                 + close_rev(ex_du, lex_du, False, 1)
             valid_rev = bp_valid[i, x] & b_valid[k, x] & (k > i + 1)
-            out_rev = jnp.where(valid_rev, jnp.real(val_rev), 0.0)
+            out_rev = jnp.where(valid_rev, _estimator_value(val_rev),
+                                jnp.zeros((), _estimator_value(val_rev).dtype))
 
             # propagate: ex(k+1) absorbs plain row k; at k = i+1 the carry
             # is REPLACED by the precomputed modified-rows absorption (the
@@ -742,13 +755,15 @@ def tj_singlet_pair_corr_graded_rowshared(tps, config, space, chi: int,
 
                 val = chan(amp_ud, True, 0) + chan(amp_du, False, 1)
                 valid = b_valid[i] & bp_valid[k] & (k > i + 1)
-                out = jnp.where(valid, jnp.real(val / safe), 0.0)
+                out = jnp.where(valid, _estimator_value(val / safe),
+                                jnp.zeros((), _estimator_value(val).dtype))
 
                 val_rev = chan_rev(amp_ud_rev, True, 0) \
                     + chan_rev(amp_du_rev, False, 1)
                 valid_rev = bp_valid[i] & b_valid[k] & (k > i + 1)
-                out_rev = jnp.where(valid_rev, jnp.real(val_rev / safe),
-                                    0.0)
+                out_rev = jnp.where(
+                    valid_rev, _estimator_value(val_rev / safe),
+                    jnp.zeros((), _estimator_value(val_rev).dtype))
 
                 def prop(e):
                     nxt = bmps._col_transfer_left(e, top[k], row[k],

@@ -137,9 +137,9 @@ def test_single_gate_matches_exact_evolution(make_model):
         assert abs(scale - 1.0) < 1e-8, (args, scale)
 
 
-def _run_su(model, ly, lx, D, occ0, sched):
+def _run_su(model, ly, lx, D, occ0, sched, dtype=None):
     space = space_for_model(model, D)
-    peps = product_fermion_peps(ly, lx, space, occ0)
+    peps = product_fermion_peps(ly, lx, space, occ0, dtype=dtype)
     for steps, tau in sched:
         out = fermion_simple_update(
             peps, model, space,
@@ -169,7 +169,7 @@ def _sector_energy(model, ly, lx, v, occ0):
     idx = np.array(idx)
     Hs = H[np.ix_(idx, idx)]
     vs = v[idx]
-    e = float(vs @ Hs @ vs) / float(vs @ vs)
+    e = float(np.real(vs.conj() @ Hs @ vs) / np.real(vs.conj() @ vs))
     e_ed = float(np.linalg.eigvalsh(Hs)[0])
     return e, e_ed
 
@@ -185,6 +185,38 @@ def test_su_spinless_converges_to_sector_ed():
     e, e_ed = _sector_energy(model, ly, lx, v, occ0)
     assert e >= e_ed - 1e-9
     assert e < e_ed + 0.02 * abs(e_ed), (e, e_ed)
+
+
+@pytest.mark.parametrize("make_model,occ0,tol", [
+    (lambda: spinless_fermion(1.0, 0.5),
+     np.array([[1, 0, 0], [0, 0, 1]]), 0.02),
+    (lambda: tj_model(3.0, 1.0), np.array([[1, 2], [2, 1]]), 0.10),
+])
+def test_su_complex_dtype_matches_real(make_model, occ0, tol):
+    """The ENTIRE graded SU pipeline in complex128 — gates, sector QR/LQ,
+    blockwise SVD truncation, lambda absorption — must reproduce the real
+    run (real Hamiltonian: the complex path may only pick up a global
+    phase) and satisfy the same sector-ED convergence bound. The reference
+    compiles all fermionic tests for double AND complex
+    (tests/CMakeLists.txt:59-86 add_two_type_unittest)."""
+    import jax.numpy as jnp
+    model = make_model()
+    ly, lx = occ0.shape
+    D = 4
+    sched = [(150, 0.2), (150, 0.05)]
+    peps_c, space = _run_su(model, ly, lx, D, occ0, sched,
+                            dtype=jnp.complex128)
+    v_c = coeffs_vec(peps_c, space, ly, lx)
+    assert np.iscomplexobj(v_c)
+    e, e_ed = _sector_energy(model, ly, lx, v_c, occ0)
+    assert e >= e_ed - 1e-9
+    assert e < e_ed + tol * abs(e_ed), (e, e_ed)
+
+    peps_r, _ = _run_su(model, ly, lx, D, occ0, sched)
+    v_r = coeffs_vec(peps_r, space, ly, lx)
+    # same ray: |<v_c, v_r>| = |v_c||v_r| (up to a global phase)
+    ovl = abs(np.vdot(v_c, v_r))
+    assert ovl > (1 - 1e-8) * np.linalg.norm(v_c) * np.linalg.norm(v_r)
 
 
 def test_su_tj_converges_near_sector_ed():

@@ -179,14 +179,19 @@ def test_graded_dressed_energy_matches_oracle():
     assert abs(e_got - e_want) < 1e-8, (e_got, e_want)
 
 
-def _random_even_state(key_seed, ly, lx, d, D, space):
+def _random_even_state(key_seed, ly, lx, d, D, space, cplx=False):
     """Random parity-even graded state — far from equilibrium, so
     Metropolis ratios span orders of magnitude (the SU states above are
-    too tame to catch mis-rated bonds)."""
+    too tame to catch mis-rated bonds). cplx=True draws a complex128 state
+    (the reference compiles every fermionic test double AND complex,
+    tests/CMakeLists.txt:59-86 add_two_type_unittest — complex
+    wavefunctions are the norm for frustrated/doped physics)."""
     from peps_tpu.fermion.graded import GT, project_even
     pp, pb = space.phys_parity, space.bond_parity
     rng = np.random.default_rng(key_seed)
     tps = rng.normal(size=(ly, lx, d, D, D, D, D))
+    if cplx:
+        tps = tps + 1j * rng.normal(size=tps.shape)
     for y in range(ly):
         for x in range(lx):
             g = GT(jnp.asarray(tps[y, x]), (pp, pb, pb, pb, pb),

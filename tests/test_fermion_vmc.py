@@ -56,7 +56,7 @@ def oracle_sector_energy(model, ly, lx, tps, space, occ0):
                     and sum(int(model.n_dn[s]) for s in cfg) == nd0])
     Hs = H[np.ix_(idx, idx)]
     vs = v[idx]
-    e = float(vs @ Hs @ vs) / float(vs @ vs)
+    e = float(np.real(vs.conj() @ Hs @ vs) / np.real(vs.conj() @ vs))
     return e, float(np.linalg.eigvalsh(Hs)[0])
 
 
@@ -142,6 +142,69 @@ def test_graded_sr_optimizes_to_sector_ed():
         lr=0.15)
     result = opt.iterative_optimize(tps, evaluate, params)
     assert result.lowest_energy < e_ed + 2e-3 * abs(e_ed), \
+        (result.lowest_energy, e_ed)
+
+
+def test_graded_complex_pipeline_energy_gradient_sr():
+    """Graded exact-sum VMC pipeline on a genuinely COMPLEX state
+    (reference two-type matrix, tests/CMakeLists.txt:59-86): a complex
+    parity-even perturbation of the SU state must (a) reproduce the
+    second-quantized oracle's sector energy, (b) carry a gradient whose
+    real/imag parts match central differences of E over Re/Im of the
+    parameters (Wirtinger convention g = dE/dA*: dE/dRe = 2 Re g,
+    dE/dIm = 2 Im g), and (c) descend back to the sector ED energy under
+    SR."""
+    from peps_tpu.optimizer import optimizer as opt
+    from peps_tpu.optimizer.cg import CGParams
+    from tests.test_fermion_sweep import _random_even_state
+
+    model = spinless_fermion(1.0, 0.5)
+    ly, lx, D = 2, 3, 4
+    occ0 = np.array([[1, 0, 0], [0, 0, 1]])
+    tps_r, space = su_state(model, ly, lx, D, occ0)
+    pert = _random_even_state(43, ly, lx, model.phys_dim, D, space,
+                              cplx=True)
+    tps = (tps_r.astype(jnp.complex128)
+           + 0.15j * pert / jnp.max(jnp.abs(pert)))
+    gm = GradedFermionModel.from_model(model, space, tps.dtype)
+    configs = jnp.asarray(sector_configs(ly, lx, {1: 2, 0: 4}))
+
+    # (a) energy against the oracle
+    res = exact_sum_energy_gradient(tps, configs, gm, CHI, TP,
+                                    with_grad=True)
+    e_oracle, e_ed = oracle_sector_energy(model, ly, lx, tps, space, occ0)
+    assert abs(float(res.energy) - e_oracle) < 1e-8
+
+    # (b) gradient vs central differences in Re and Im directions
+    g = np.asarray(res.gradient)
+    top = np.argsort(np.abs(g).reshape(-1))[::-1][:2]
+    for ti in top:
+        pos = tuple(int(i) for i in np.unravel_index(ti, tps.shape))
+        eps = 1e-6
+        for direction, want in ((eps, 2 * np.real(g[pos])),
+                                (1j * eps, 2 * np.imag(g[pos]))):
+            ep = float(exact_sum_energy_gradient(
+                tps.at[pos].add(direction), configs, gm, CHI, TP,
+                with_grad=False).energy)
+            em = float(exact_sum_energy_gradient(
+                tps.at[pos].add(-direction), configs, gm, CHI, TP,
+                with_grad=False).energy)
+            fd = (ep - em) / (2 * eps)
+            assert abs(want - fd) < 1e-4 * max(abs(fd), 1e-2), \
+                (pos, direction, want, fd)
+
+    # (c) SR descends the complex state back to the sector ED energy
+    def evaluate(state, step):
+        return exact_sum_evaluation(state, configs, gm, CHI, TP,
+                                    with_sr_buffers=True)
+
+    params = opt.OptimizerParams(
+        max_iters=30,
+        algorithm=opt.SRParams(cg=CGParams(max_iter=200, tol=1e-8),
+                               diag_shift=1e-3),
+        lr=0.15)
+    result = opt.iterative_optimize(tps, evaluate, params)
+    assert result.lowest_energy < e_ed + 5e-3 * abs(e_ed), \
         (result.lowest_energy, e_ed)
 
 

@@ -69,7 +69,12 @@ def run_vkernel_check(which: str) -> None:
     """Chained trajectories from a uniform-rows start: in sweep 1 every
     horizontal exchange is an identity, so any configuration change is a
     vertical-kernel acceptance — the v-kernel's Metropolis ratios are
-    exercised directly, then the chained sweeps mix both passes."""
+    exercised directly, then the chained sweeps mix both passes.
+
+    A ':cplx' suffix runs the same check on a complex128 random state
+    (reference two-type test matrix, tests/CMakeLists.txt:59-86)."""
+    which, _, flavor = which.partition(":")
+    cplx = flavor == "cplx"
     if which == "spinless":
         model, ly, lx, D = spinless_fermion(1.0, 0.5), 3, 3, 3
         occ0 = np.array([[1, 1, 1], [0, 0, 0], [1, 1, 1]])
@@ -77,7 +82,8 @@ def run_vkernel_check(which: str) -> None:
         model, ly, lx, D = tj_model(3.0, 1.0), 3, 2, 3
         occ0 = np.array([[1, 1], [2, 2], [0, 0]])   # v bonds: exchange + hop
     space = space_for_model(model, D)
-    tps = _random_even_state(13, ly, lx, model.phys_dim, D, space)
+    tps = _random_even_state(13, ly, lx, model.phys_dim, D, space,
+                             cplx=cplx)
     chi = 24
     tp = TruncParams(chi, 1, 0.0)
     total_acc = 0
@@ -104,18 +110,21 @@ def run_vkernel_check(which: str) -> None:
     print(f"ADVERSARIAL_OK vkernel {which} acc={total_acc}")
 
 
-@pytest.mark.parametrize("which", ["spinless", "tj"])
+@pytest.mark.parametrize("which", ["spinless", "tj",
+                                   "spinless:cplx", "tj:cplx"])
 def test_vkernel_random_state(which):
     _subprocess_check("run_vkernel_check", which)
 
 
 # ------------------------------------------------- 2. diagonal (t2) channels
 
+@pytest.mark.parametrize("cplx", [False, True], ids=["f64", "c128"])
 @pytest.mark.parametrize("which", ["spinless_t2", "tj_t2v"])
-def test_t2_diag_tables_random_state(which):
+def test_t2_diag_tables_random_state(which, cplx):
     """Per-config graded local energies with diagonal (NNN) channels on a
     random parity-even state vs the snake-ordered second-quantized ED
-    matrix — e_loc(s) = (H c)[s] / c[s] entry for entry."""
+    matrix — e_loc(s) = (H c)[s] / c[s] entry for entry. Runs on f64 AND
+    c128 states (reference two-type matrix, tests/CMakeLists.txt:59-86)."""
     import tests.fermion_ed_oracle as FO
     from peps_tpu.algorithm.exact_sum import sector_configs
     from peps_tpu.fermion.exact import exact_coefficients, snake_order
@@ -129,7 +138,8 @@ def test_t2_diag_tables_random_state(which):
         model, ly, lx, D = tj_model(3.0, 1.0, t2=2.1, v=0.7), 2, 3, 3
         sector = {1: 2, 2: 2, 0: 2}
     space = space_for_model(model, D)
-    tps = _random_even_state(17, ly, lx, model.phys_dim, D, space)
+    tps = _random_even_state(17, ly, lx, model.phys_dim, D, space,
+                             cplx=cplx)
     gm = GradedFermionModel.from_model(model, space, tps.dtype)
     chi = 16
     tp = TruncParams(chi, 1, 0.0)
@@ -137,7 +147,9 @@ def test_t2_diag_tables_random_state(which):
 
     res = jax.vmap(lambda c: local_energy_and_holes_graded(
         tps, c, gm, chi, tp, with_holes=False))(configs)
-    e_got = np.asarray(jnp.real(res.e_loc))
+    # complex states carry genuinely complex local energies — compare the
+    # full complex value against the oracle, not just the real part
+    e_got = np.asarray(res.e_loc)
 
     c = exact_coefficients(tps, space.phys_parity, space.bond_parity)
     seq = snake_order(ly, lx)
@@ -162,10 +174,12 @@ def test_t2_diag_tables_random_state(which):
 def run_dressed_check(which: str) -> None:
     from peps_tpu.montecarlo.jastrow import JastrowDress
 
+    cplx = which.endswith(":cplx")
     model, ly, lx, D = tj_model(3.0, 1.0), 3, 2, 3
     occ0 = np.array([[1, 2], [0, 0], [2, 1]])
     space = space_for_model(model, D)
-    tps = _random_even_state(19, ly, lx, model.phys_dim, D, space)
+    tps = _random_even_state(19, ly, lx, model.phys_dim, D, space,
+                             cplx=cplx)
     n = ly * lx
     rng = np.random.default_rng(23)
     v = rng.normal(size=(n, n)) * 0.5
@@ -196,13 +210,14 @@ def run_dressed_check(which: str) -> None:
     print(f"ADVERSARIAL_OK dressed acc={total_acc}")
 
 
-def test_dressed_sweep_random_state():
-    _subprocess_check("run_dressed_check", "tj")
+@pytest.mark.parametrize("which", ["tj", "tj:cplx"])
+def test_dressed_sweep_random_state(which):
+    _subprocess_check("run_dressed_check", which)
 
 
 # --------------------------------------------- 4./5. pair-corr walkers
 
-def _paircorr_case(frame):
+def _paircorr_case(frame, cplx=False):
     model = tj_model(3.0, 1.0)
     if frame == "row":
         ly, lx = 2, 4
@@ -221,23 +236,25 @@ def _paircorr_case(frame):
     D = 3
     space = space_for_model(model, D)
     tps = _random_even_state(29 if frame == "row" else 31, ly, lx,
-                             model.phys_dim, D, space)
+                             model.phys_dim, D, space, cplx=cplx)
     return model, ly, lx, tps, space, cfgs
 
 
+@pytest.mark.parametrize("cplx", [False, True], ids=["f64", "c128"])
 @pytest.mark.parametrize("frame", ["row", "col"])
-def test_paircorr_walker_random_state(frame):
+def test_paircorr_walker_random_state(frame, cplx):
     """Env-shared graded pair-corr walkers vs the independent
     exact-coefficient mode-algebra oracle on a random parity-even state —
     every entry compared, zeros included (a sign or env-selection bug that
-    leaks weight into unsupported entries fails here too)."""
+    leaks weight into unsupported entries fails here too). f64 AND c128
+    (reference two-type matrix)."""
     from peps_tpu.algorithm.measure_fermion import (
         tj_singlet_pair_corr_graded_colshared,
         tj_singlet_pair_corr_graded_rowshared)
     from peps_tpu.fermion.exact import exact_coefficients, snake_order
     from tests.test_pair_corr import _graded_pair_corr_oracle
 
-    model, ly, lx, tps, space, cfgs = _paircorr_case(frame)
+    model, ly, lx, tps, space, cfgs = _paircorr_case(frame, cplx=cplx)
     c = np.asarray(exact_coefficients(tps, space.phys_parity,
                                       space.bond_parity))
     snake_pos = np.zeros((ly, lx), int)

@@ -104,7 +104,7 @@ def _graded_pair_corr_oracle(c, config, sites4, snake_pos):
     if config[y3, x3] != 0 or config[y4, x4] != 0:
         return 0.0
     digits = tuple(int(config[y, x]) for (y, x) in seq)
-    amp_s = c[digits]
+    amp_s = complex(c[digits]) if np.iscomplexobj(c) else float(c[digits])
     total = 0.0
     for sb, cb, s1, s2 in ((0, 1.0, 1, 2), (1, -1.0, 2, 1)):
         cfg_p = np.array(config)
@@ -122,7 +122,9 @@ def _graded_pair_corr_oracle(c, config, sites4, snake_pos):
             continue
         sgn, occ_out = r
         digits_p = tuple(int(cfg_p[y, x]) for (y, x) in seq)
-        total += 0.5 * ca * cb * sgn * float(c[digits_p]) / float(amp_s)
+        amp_p = (complex(c[digits_p]) if np.iscomplexobj(c)
+                 else float(c[digits_p]))
+        total += 0.5 * ca * cb * sgn * amp_p / amp_s
     return total
 
 
