@@ -141,22 +141,41 @@ def _normalize_nodes(t):
 # Cache
 # ---------------------------------------------------------------------------
 
-class PBCCache(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+class PBCCache:
     """Multi-scale contraction cache for one configuration.
 
-    stages[s]: entry grid of plan stage s (normalized, in stage-s frame);
+    stages[s]: entry grid of plan stage s (normalized, in stage-s frame),
+      stored FLATTENED as [n_s, m_s, prod(site dims)] so the minor axis is a
+      multiple of 128 — a resident 6D [.., chi, chi, chi, chi] grid would
+      tile-pad its minor axis 32 -> 128 on TPU (4x physical HBM; the 8x8
+      chi=32 x32-chain cache is 4.6 GB logical but ~18 GB padded, an OOM).
+      The true 6D shapes live in `shapes` as static pytree aux data;
+      windows are reshaped back to 6D only at gather time (window-sized).
       stages[-1] is the final [1, 1] grid whose u-d/l-r trace is `mant`.
     projs[s]: (pb_used, pt_used) absorb-ready projector grids indexed by
       output node in the PRE-transpose output frame of stage s (None for
-      'none' stages).
+      'none' stages), stored flattened likewise with shapes in `pshapes`.
     lnorms[s]: per-node log-norms [n_s, m_s] accumulated when stage-s entry
       was normalized, stored in the stage-s frame.
     """
-    stages: tuple
-    projs: tuple
-    lnorms: tuple
-    mant: jnp.ndarray
-    logw: jnp.ndarray
+
+    def __init__(self, stages, projs, lnorms, mant, logw, shapes, pshapes):
+        self.stages = stages
+        self.projs = projs
+        self.lnorms = lnorms
+        self.mant = mant
+        self.logw = logw
+        self.shapes = shapes        # static: per-stage 6D grid shapes
+        self.pshapes = pshapes      # static: per-stage (pb, pt) shapes/None
+
+    def tree_flatten(self):
+        return ((self.stages, self.projs, self.lnorms, self.mant,
+                 self.logw), (self.shapes, self.pshapes))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
 
     @property
     def log_abs(self):
@@ -164,6 +183,11 @@ class PBCCache(NamedTuple):
                else self.mant.dtype)
         return jnp.log(jnp.maximum(jnp.abs(self.mant),
                                    jnp.finfo(rdt).tiny)) + self.logw
+
+
+def _flat2(g):
+    """Flatten all site axes of a grid [n, m, *site] to [n, m, F]."""
+    return g.reshape(g.shape[0], g.shape[1], -1)
 
 
 @partial(jax.jit, static_argnames=("chi", "trunc", "inv_relative_eps"))
@@ -180,7 +204,8 @@ def build_cache(tn: jnp.ndarray, chi: int, trunc: TruncParams,
         "PBC contractor requires dims of the form 2^k or 3*2^k"
     plan = stage_plan(tn.shape[0], tn.shape[1])
     g, ln = _normalize_nodes(tn)
-    stages, lnorms, projs = [g], [ln], []
+    stages, lnorms, projs = [_flat2(g)], [ln], []
+    shapes, pshapes = [g.shape], []
     for kind, n, m, m2 in plan:
         if kind == "triple":
             mrg = _triple_columns(g)
@@ -194,12 +219,26 @@ def build_cache(tn: jnp.ndarray, chi: int, trunc: TruncParams,
             out, prj = g, None
         out, ln_out = _normalize_nodes(out)
         g = _transpose_frame(out)
-        stages.append(g)
+        stages.append(_flat2(g))
+        shapes.append(g.shape)
         lnorms.append(ln_out.T)
-        projs.append(prj)
+        if prj is None:
+            projs.append(None)
+            pshapes.append(None)
+        else:
+            pb, pt = prj
+            projs.append((_flat2(pb), _flat2(pt)))
+            pshapes.append((pb.shape, pt.shape))
     mant = jnp.einsum("ulul->", g[0, 0])
     logw = sum(jnp.sum(l) for l in lnorms)
-    return PBCCache(tuple(stages), tuple(projs), tuple(lnorms), mant, logw)
+    return PBCCache(tuple(stages), tuple(projs), tuple(lnorms), mant, logw,
+                    tuple(shapes), tuple(pshapes))
+
+
+def _take_grid(flat_grid, shape6, r0, nr: int, c0, nc: int):
+    """Gather an [nr, nc] window from a flattened grid and restore the
+    per-site axes recorded in shape6."""
+    return _take2(flat_grid, r0, nr, c0, nc).reshape(nr, nc, *shape6[2:])
 
 
 # ---------------------------------------------------------------------------
@@ -272,7 +311,8 @@ def begin_trial(cache: PBCCache, blk_raw: jnp.ndarray, r0, c0, *, chi: int,
             else:
                 or0, ir0 = r0, r0
             iwc = g * owc
-            win = _take2(cache.stages[s], ir0, iwr, ic0, iwc)
+            win = _take_grid(cache.stages[s], cache.shapes[s], ir0, iwr,
+                             ic0, iwc)
             win = _overlay(win, blk, (r0 - ir0) % n, (c0 - ic0) % m)
             if exact:
                 if kind == "pair":
@@ -296,8 +336,10 @@ def begin_trial(cache: PBCCache, blk_raw: jnp.ndarray, r0, c0, *, chi: int,
                     pt = pt_f[1:1 + owr]
                 prj = (pb, pt, or0, oc0)
             else:
-                pb = _take2(cache.projs[s][0], or0, owr, oc0, owc)
-                pt = _take2(cache.projs[s][1], or0, owr, oc0, owc)
+                pb = _take_grid(cache.projs[s][0], cache.pshapes[s][0],
+                                or0, owr, oc0, owc)
+                pt = _take_grid(cache.projs[s][1], cache.pshapes[s][1],
+                                or0, owr, oc0, owc)
                 if kind == "pair":
                     out_blk = _absorb_window(pb, win[:, 0::2], win[:, 1::2],
                                              pt)
@@ -337,6 +379,7 @@ def commit_trial(cache: PBCCache, trial: PBCTrial,
     stages, lnorms = list(cache.stages), list(cache.lnorms)
     projs = list(cache.projs)
     for s, (blk, ln_blk, r0, c0) in enumerate(trial.blocks):
+        blk = blk.reshape(blk.shape[0], blk.shape[1], -1)   # storage layout
         if accept is not None:
             old = _take2(stages[s], r0, blk.shape[0], c0, blk.shape[1])
             old_ln = _take2(lnorms[s], r0, blk.shape[0], c0, blk.shape[1])
@@ -348,6 +391,8 @@ def commit_trial(cache: PBCCache, trial: PBCTrial,
         if prj is None:
             continue
         pb, pt, or0, oc0 = prj
+        pb = pb.reshape(pb.shape[0], pb.shape[1], -1)
+        pt = pt.reshape(pt.shape[0], pt.shape[1], -1)
         pbg, ptg = projs[s]
         if accept is not None:
             pb = jnp.where(accept, pb,
@@ -360,7 +405,7 @@ def commit_trial(cache: PBCCache, trial: PBCTrial,
         mant = jnp.where(accept, mant, cache.mant)
         dln = jnp.where(accept, dln, jnp.zeros_like(dln))
     return PBCCache(tuple(stages), tuple(projs), tuple(lnorms), mant,
-                    cache.logw + dln)
+                    cache.logw + dln, cache.shapes, cache.pshapes)
 
 
 def replace_sites(tps, config, sites, states, r0, c0, wr: int, wc: int):

@@ -321,11 +321,31 @@ def _build_caches(tps, configs, chi, trunc):
         batch_size=_pbc_map_batch(tps.shape[0], tps.shape[1]))
 
 
-@_partial(jax.jit, static_argnames=("chi", "trunc", "horizontal", "exact"))
+def _trial_group_auto(chi: int, trunc: TruncParams, nc: int,
+                      n_replays: int, itemsize: int) -> int:
+    """Chains vmapped together per trial-sweep executable.
+
+    The frozen absorb materializes one rank-5 ~chi^5 temp per window node
+    (pairwise contraction of pb*a*b*pt cannot do better); at chi < 128 the
+    32-wide minor axes tile-pad 4x, so 32 chains x 2 nodes at 8x8 chi=32
+    is ~17 GB of HLO temp — an OOM on a 16 GB chip. Chains are therefore
+    swept in groups via lax.map: same math, same total work, bounded peak."""
+    pad = 1 if chi % 128 == 0 else 4
+    per_chain = 2 * (chi ** 5) * itemsize * pad * max(1, n_replays)
+    # conservative budget: the per-chain multi-scale caches (~chi^4 * nodes
+    # per chain), XLA temp double-buffering and ~30% allocator fragmentation
+    # all share the ~16 GB HBM with these temps
+    budget = 2e9
+    return max(1, min(nc, int(budget // max(per_chain, 1))))
+
+
+@_partial(jax.jit, static_argnames=("chi", "trunc", "horizontal", "exact",
+                                    "group"))
 def _trial_sweep_exchange(tps, caches, configs, keys, anchors, chi, trunc,
-                          horizontal, exact):
+                          horizontal, exact, group):
     """Exchange-Metropolis decisions over one bond orientation: ONE
-    executable (lax.scan over bonds, vmap over chains)."""
+    executable (lax.map over chain groups of a lax.scan over bonds, vmap
+    over the chains inside each group)."""
     ly, lx = tps.shape[0], tps.shape[1]
     rdt = tps.real.dtype if jnp.iscomplexobj(tps) else tps.dtype
     (wr, wc), (dy, dx) = ((1, 2), (0, 1)) if horizontal else ((2, 1), (1, 0))
@@ -351,23 +371,30 @@ def _trial_sweep_exchange(tps, caches, configs, keys, anchors, chi, trunc,
         return (cache, config, key, accept.astype(jnp.int32),
                 differ.astype(jnp.int32))
 
-    def body(carry, anchor):
-        caches, configs, keys, acc, tri = carry
-        caches, configs, keys, a, t = jax.vmap(
-            one, in_axes=(0, 0, 0, None))(caches, configs, keys, anchor)
-        return (caches, configs, keys, acc + a, tri + t), None
+    def sweep_chain(args):
+        cache, config, key = args
 
-    nc = configs.shape[0]
-    init = (caches, configs, keys, jnp.zeros((nc,), jnp.int32),
-            jnp.zeros((nc,), jnp.int32))
-    (caches, configs, keys, acc, tri), _ = jax.lax.scan(body, init, anchors)
-    return caches, configs, keys, acc, tri
+        def body(carry, anchor):
+            cache, config, key, acc, tri = carry
+            cache, config, key, a, t = one(cache, config, key, anchor)
+            return (cache, config, key, acc + a, tri + t), None
+
+        init = (cache, config, key, jnp.zeros((), jnp.int32),
+                jnp.zeros((), jnp.int32))
+        (cache, config, key, acc, tri), _ = jax.lax.scan(body, init,
+                                                         anchors)
+        return cache, config, key, acc, tri
+
+    # lax.map = scan of vmaps: chains are vectorized `group` at a time, so
+    # the chi^5 absorb temps stay bounded (see _trial_group_auto)
+    return jax.lax.map(sweep_chain, (caches, configs, keys),
+                       batch_size=min(group, configs.shape[0]))
 
 
 @_partial(jax.jit, static_argnames=("chi", "trunc", "d", "rule",
-                                    "horizontal", "exact"))
+                                    "horizontal", "exact", "group"))
 def _trial_sweep_table(tps, caches, configs, keys, anchors, chi, trunc, d,
-                       rule, horizontal, exact):
+                       rule, horizontal, exact, group):
     """Full-space (Suwa-Todo) decisions over one bond orientation via d^2
     vmapped trial replays per bond."""
     ly, lx = tps.shape[0], tps.shape[1]
@@ -403,48 +430,142 @@ def _trial_sweep_table(tps, caches, configs, keys, anchors, chi, trunc, d,
                 (new_idx != cur_idx).astype(jnp.int32),
                 jnp.ones((), jnp.int32))
 
-    def body(carry, anchor):
-        caches, configs, keys, acc, tri = carry
-        caches, configs, keys, a, t = jax.vmap(
-            one, in_axes=(0, 0, 0, None))(caches, configs, keys, anchor)
-        return (caches, configs, keys, acc + a, tri + t), None
+    def sweep_chain(args):
+        cache, config, key = args
 
+        def body(carry, anchor):
+            cache, config, key, acc, tri = carry
+            cache, config, key, a, t = one(cache, config, key, anchor)
+            return (cache, config, key, acc + a, tri + t), None
+
+        init = (cache, config, key, jnp.zeros((), jnp.int32),
+                jnp.zeros((), jnp.int32))
+        (cache, config, key, acc, tri), _ = jax.lax.scan(body, init,
+                                                         anchors)
+        return cache, config, key, acc, tri
+
+    return jax.lax.map(sweep_chain, (caches, configs, keys),
+                       batch_size=min(group, configs.shape[0]))
+
+
+@_partial(jax.jit, static_argnames=("chi", "trunc", "horizontal", "exact",
+                                    "group"), donate_argnums=(1,))
+def _trial_bond_step_exchange(tps, caches, configs, keys, anchor, chi,
+                              trunc, horizontal, exact, group):
+    """One bond decision for ALL chains (traced anchor -> ONE executable
+    serves every bond position; the host drives the bond order). The
+    caches argument is donated so the multi-GB multi-scale cache updates
+    in place instead of double-buffering."""
+    ly, lx = tps.shape[0], tps.shape[1]
+    rdt = tps.real.dtype if jnp.iscomplexobj(tps) else tps.dtype
+    (wr, wc), (dy, dx) = ((1, 2), (0, 1)) if horizontal else ((2, 1), (1, 0))
+
+    def one(args):
+        cache, config, key = args
+        key, k_pick = jax.random.split(key)
+        y, x = anchor[0], anchor[1]
+        y2, x2 = (y + dy) % ly, (x + dx) % lx
+        c1, c2 = config[y, x], config[y2, x2]
+        blk = replace_sites(tps, config, [(0, 0), (dy, dx)],
+                            [c2, c1], y, x, wr, wc)
+        trial = begin_trial(cache, blk, y, x, chi=chi, trunc=trunc,
+                            exact=exact)
+        la0 = cache.log_abs
+        la1 = trial_log_abs(cache, trial)
+        ratio2 = jnp.exp(2.0 * (la1 - la0))
+        u = jax.random.uniform(k_pick, (), rdt)
+        differ = c1 != c2
+        accept = differ & (u < ratio2)
+        config = jnp.where(
+            accept, config.at[y, x].set(c2).at[y2, x2].set(c1), config)
+        cache = commit_trial(cache, trial, accept=accept)
+        return (cache, config, key, accept.astype(jnp.int32),
+                differ.astype(jnp.int32))
+
+    return jax.lax.map(one, (caches, configs, keys),
+                       batch_size=min(group, configs.shape[0]))
+
+
+def _trial_sweep_host(tps, caches, configs, keys, chi, trunc, rule, exact,
+                      group):
+    """Host-driven trial/commit sweep: the scanned-over-bonds executable
+    (_trial_sweep_exchange) is mathematically identical but its giant
+    scan-of-map graph can hit the XLA:TPU TRG compile pathology (hours);
+    this drives the same per-bond `one` step from the host — 2*Ly*Lx
+    dispatches per sweep instead of thousands (full-recompute host path),
+    and a per-bond executable that compiles in seconds. Bit-identical
+    trajectories to mc_sweep_pbc_trial's scanned path (same key stream,
+    same bond order)."""
+    ly, lx = tps.shape[0], tps.shape[1]
     nc = configs.shape[0]
-    init = (caches, configs, keys, jnp.zeros((nc,), jnp.int32),
-            jnp.zeros((nc,), jnp.int32))
-    (caches, configs, keys, acc, tri), _ = jax.lax.scan(body, init, anchors)
+    acc = jnp.zeros((nc,), jnp.int32)
+    tri = jnp.zeros((nc,), jnp.int32)
+    if rule.mode != "exchange":
+        raise NotImplementedError(
+            "host-driven trial sweep: exchange rule only (use the scanned "
+            "path for full-space rules)")
+    h_anchors, v_anchors = _oriented_bonds(ly, lx)
+    for horizontal, anchors in ((True, h_anchors), (False, v_anchors)):
+        for a in anchors:
+            caches, configs, keys, a1, t1 = _trial_bond_step_exchange(
+                tps, caches, configs, keys, jnp.asarray(a), chi, trunc,
+                horizontal, exact, group)
+            acc, tri = acc + a1, tri + t1
     return caches, configs, keys, acc, tri
 
 
 def mc_sweep_pbc_trial(tps, configs, keys, chi: int, trunc: TruncParams,
                        rule: UpdateRule, caches=None, exact: bool = False,
-                       return_caches: bool = False):
+                       return_caches: bool = False, group: int | None = None,
+                       host_driven: bool | None = None):
     """One full PBC sweep for ALL chains through the trial/commit cache.
 
     configs: [C, Ly, Lx]; keys: [C]. Bond order matches mc_sweep_pbc /
     mc_sweep_pbc_host (all horizontal, then all vertical). `caches` (from a
     previous call with return_caches=True) skips the per-sweep projector
     refresh — pass them only if a stale frozen map over >1 sweep is
-    acceptable. Returns (configs', keys', acc [C], tri [C]) and, with
-    return_caches=True, the committed caches as a 5th element."""
+    acceptable. `group` bounds how many chains one executable sweeps at
+    once (None = auto from a chi^5-temp memory model — see
+    _trial_group_auto). Returns (configs', keys', acc [C], tri [C]) and,
+    with return_caches=True, the committed caches as a 5th element.
+
+    host_driven (None = auto: on for TPU backends with the exchange rule)
+    drives the per-bond step from the host through ONE traced-anchor
+    executable instead of the scanned-over-bonds graph, whose compile
+    time on XLA:TPU is pathological at production sizes (the same
+    pathology that forces mc_sweep_pbc_host)."""
     ly, lx, d = tps.shape[0], tps.shape[1], tps.shape[2]
     if caches is None:
         caches = _build_caches(tps, configs, chi, trunc)
     h_anchors, v_anchors = _oriented_bonds(ly, lx)
+    nc = configs.shape[0]
+    itemsize = 2 if trunc.scheme in ("fast", "sketch") else \
+        jnp.zeros((), tps.dtype).real.dtype.itemsize
+    if host_driven is None:
+        host_driven = (jax.default_backend() == "tpu"
+                       and rule.mode == "exchange")
+    if host_driven and rule.mode == "exchange":
+        g = group or _trial_group_auto(chi, trunc, nc, 1, itemsize)
+        caches, configs, keys, acc, tri = _trial_sweep_host(
+            tps, caches, configs, keys, chi, trunc, rule, exact, g)
+        out = (configs, keys, acc, tri)
+        return out + (caches,) if return_caches else out
     if rule.mode == "exchange":
+        g = group or _trial_group_auto(chi, trunc, nc, 1, itemsize)
         caches, configs, keys, a1, t1 = _trial_sweep_exchange(
             tps, caches, configs, keys, jnp.asarray(h_anchors), chi, trunc,
-            True, exact)
+            True, exact, g)
         caches, configs, keys, a2, t2 = _trial_sweep_exchange(
             tps, caches, configs, keys, jnp.asarray(v_anchors), chi, trunc,
-            False, exact)
+            False, exact, g)
     else:
+        g = group or _trial_group_auto(chi, trunc, nc, d * d, itemsize)
         caches, configs, keys, a1, t1 = _trial_sweep_table(
             tps, caches, configs, keys, jnp.asarray(h_anchors), chi, trunc,
-            d, rule, True, exact)
+            d, rule, True, exact, g)
         caches, configs, keys, a2, t2 = _trial_sweep_table(
             tps, caches, configs, keys, jnp.asarray(v_anchors), chi, trunc,
-            d, rule, False, exact)
+            d, rule, False, exact, g)
     out = (configs, keys, a1 + a2, t1 + t2)
     return out + (caches,) if return_caches else out
 

@@ -200,3 +200,25 @@ def test_trial_sweep_respects_conserve_mask():
     cfg_t, _, _, _ = mc_sweep_pbc_trial(tps, configs, keys, 16, trunc, rule)
     sums = np.asarray(jnp.sum(cfg_t.reshape(nc, -1), axis=1))
     np.testing.assert_array_equal(sums, np.full(nc, n * m // 2))
+
+
+def test_trial_sweep_host_driven_matches_scanned():
+    """The host-driven per-bond trial executable must reproduce the
+    scanned trial sweep's trajectories bit for bit (same key stream and
+    bond order — it exists only because the scanned graph's XLA:TPU
+    compile time is pathological at production sizes)."""
+    n = m = 4
+    tps, _, trunc = _setup(n, m, 3, 6, seed=21)
+    chi = 6
+    nc = 3
+    key = jax.random.PRNGKey(23)
+    configs = jax.random.randint(key, (nc, n, m), 0, 2)
+    keys = jax.random.split(jax.random.fold_in(key, 1), nc)
+    rule = UpdateRule("exchange")
+    cfg_s, _, acc_s, tri_s = mc_sweep_pbc_trial(
+        tps, configs, keys, chi, trunc, rule, host_driven=False)
+    cfg_h, _, acc_h, tri_h = mc_sweep_pbc_trial(
+        tps, configs, keys, chi, trunc, rule, host_driven=True)
+    np.testing.assert_array_equal(np.asarray(cfg_h), np.asarray(cfg_s))
+    np.testing.assert_array_equal(np.asarray(acc_h), np.asarray(acc_s))
+    np.testing.assert_array_equal(np.asarray(tri_h), np.asarray(tri_s))
