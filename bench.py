@@ -72,13 +72,81 @@ def _sync(*xs):
 
 def _cost(fn, *args):
     try:
-        cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+        compiled = jax.jit(fn).lower(*args).compile()
+        cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         return (float(cost.get("flops", float("nan"))),
-                float(cost.get("bytes accessed", float("nan"))))
+                float(cost.get("bytes accessed", float("nan"))),
+                _padding_factor(compiled))
     except Exception:
-        return float("nan"), float("nan")
+        return float("nan"), float("nan"), float("nan")
+
+
+_SHAPE_RE = __import__("re").compile(
+    r"\b(pred|s8|u8|s16|u16|s32|u32|s64|u64|bf16|f16|f32|f64|c64|c128)"
+    r"\[([0-9,]*)\]\{([^}]*)\}")
+_ITEM = {"pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "bf16": 2,
+         "f16": 2, "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8,
+         "f64": 8, "c64": 8, "c128": 16}
+
+
+def _padding_factor(compiled) -> float:
+    """Physical/logical byte ratio of the compiled program's buffers.
+
+    cost_analysis() reports LOGICAL bytes; on TPU every buffer is laid out
+    in (8, 128)-element tiles (x(2,1) sub-tiles for 16-bit types), so a
+    [.., 32]-minor f32 buffer physically moves 4x its logical bytes. This
+    walks every shape+layout token of the optimized HLO and returns
+    sum(padded)/sum(logical) — an instruction-weighted estimate (loop trip
+    counts weight both sums identically, so the RATIO is the meaningful
+    number; the r4 verdict's 'MBU uses logical bytes' gap)."""
+    try:
+        text = compiled.as_text()
+    except Exception:
+        return float("nan")
+    logical = padded = 0
+    for m in _SHAPE_RE.finditer(text):
+        dt, dims_s, layout = m.group(1), m.group(2), m.group(3)
+        dims = [int(x) for x in dims_s.split(",") if x]
+        if not dims:
+            continue
+        item = _ITEM[dt]
+        lsz = item
+        for d in dims:
+            lsz *= d
+        tile = None
+        ti = layout.find("T(")
+        if ti >= 0:
+            tpart = layout[ti + 2:]
+            tdims = tpart.split(")")[0]
+            try:
+                tile = [int(x) for x in tdims.split(",")]
+            except ValueError:
+                tile = None
+        pdims = list(dims)
+        if tile and len(tile) >= 2:
+            # layout minor-to-major permutation: first index = minor dim
+            try:
+                perm = [int(x) for x in layout.split(":")[0].split(",")]
+            except ValueError:
+                perm = list(range(len(dims)))[::-1]
+            sub = 1
+            if ")(" in layout:           # 16-bit sub-tile (2,1)
+                sub = 2
+            if len(perm) >= 1:
+                mi = perm[0]
+                pdims[mi] = -(-pdims[mi] // tile[-1]) * tile[-1]
+            if len(perm) >= 2:
+                mi2 = perm[1]
+                t2 = tile[-2] * sub
+                pdims[mi2] = -(-pdims[mi2] // t2) * t2
+        psz = item
+        for d in pdims:
+            psz *= d
+        logical += lsz
+        padded += psz
+    return padded / logical if logical else float("nan")
 
 
 def _su_tps(ly, lx, D, su_steps):
@@ -170,7 +238,8 @@ def _train_metrics(ly, lx, D, chi, nchains, su_steps=60, n_steps=4,
     dt = time.time() - t0
     assert np.isfinite(e_host), f"training-step energy not finite: {e}"
     steps_per_sec = n_steps / dt
-    flops, bytes_ = _cost(train_step, tps, configs, jax.random.PRNGKey(4))
+    flops, bytes_, pad = _cost(train_step, tps, configs,
+                               jax.random.PRNGKey(4))
     metrics = {
         "config": f"{ly}x{lx} D={D} chi={chi}, {nchains} chains",
         "steps_per_sec": round(steps_per_sec, 4),
@@ -179,6 +248,10 @@ def _train_metrics(ly, lx, D, chi, nchains, su_steps=60, n_steps=4,
         "bytes_per_step": bytes_,
         "mfu_bf16": round(flops * steps_per_sec / PEAK_BF16, 5),
         "mbu_hbm": round(bytes_ * steps_per_sec / PEAK_HBM, 4),
+        # physical (tile-padded) traffic estimate — see _padding_factor
+        "hbm_padding_factor": round(pad, 3),
+        "mbu_hbm_physical_est": round(
+            bytes_ * pad * steps_per_sec / PEAK_HBM, 4),
     }
     return metrics, tps, cfgs
 
@@ -302,6 +375,8 @@ def main():
         "bytes_per_step": bytes_,
         "mfu_bf16": round(mfu, 5),
         "mbu_hbm": round(mbu, 4),
+        "hbm_padding_factor": head.get("hbm_padding_factor"),
+        "mbu_hbm_physical_est": head.get("mbu_hbm_physical_est"),
         "mfu_by_config": mfu_by_config,
         "graded_tj_6x6_D8": graded,
         "accuracy_rel_diff_sketch_vs_svd": round(acc_rel, 8),

@@ -517,18 +517,33 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
         done = 0
         acc = tri = 0
         t_start = time.time()
-        while done < params.num_samples and not stop_flag["stop"]:
-            n = min(chunk, params.num_samples - done)
-            configs, key, a, t, outs_c = collect(configs, key, n)
+        # pipelined fetch: dispatch chunk k+1 (async), THEN pull chunk k's
+        # outputs to host while the device runs k+1 — through the remote
+        # device tunnel a synchronous per-chunk np.asarray serializes
+        # transfer latency with compute and costs ~2x at small chunks
+        pending = None
+
+        def _drain(p):
+            nonlocal acc, tri
+            a, t, outs_c, n_p = p
             acc, tri = acc + int(a), tri + int(t)
             collected.append(jax.tree.map(np.asarray, outs_c))
-            done += n
             if params.progress and done < params.num_samples:
                 dt = time.time() - t_start
-                eta = dt / done * (params.num_samples - done)
+                eta = dt / max(done, 1) * (params.num_samples - done)
                 print(f"[measure] {done}/{params.num_samples} samples "
                       f"({dt:.0f}s, ~{eta:.0f}s left, accept "
                       f"{acc / max(tri, 1):.3f})", flush=True)
+
+        while done < params.num_samples and not stop_flag["stop"]:
+            n = min(chunk, params.num_samples - done)
+            configs, key, a, t, outs_c = collect(configs, key, n)
+            done += n
+            prev, pending = pending, (a, t, outs_c, n)
+            if prev is not None:
+                _drain(prev)
+        if pending is not None:
+            _drain(pending)
         outs = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *collected)
     finally:
         for sig, h in old_handlers.items():

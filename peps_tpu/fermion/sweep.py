@@ -462,3 +462,76 @@ def mc_sweep_fermion_oracle(tps, space: FermionSpace, config, key, chi,
 
     return jnp.asarray(cfg), key, SweepStats(jnp.asarray(acc, jnp.int32),
                                              jnp.asarray(tri, jnp.int32))
+
+
+def mc_teleport_fermion(tps, space: FermionSpace, config, key, chi, trunc,
+                        dress=None, n_props: int = 4):
+    """Non-local bond-content teleport pass (graded states).
+
+    Proposes swapping the 2-site CONTENTS of two random disjoint NN bonds
+    (uniform symmetric proposal; Metropolis on the full amplitude ratio,
+    dressed if `dress` is given). Motivation: umbrella-biased
+    pair-correlation sampling (jastrow.hole_attraction_dress) binds the
+    two t-J holes into one pair whose local diffusion is slow — bound-pair
+    episodes decorrelate only over many sweeps, so biased support events
+    are few INDEPENDENT visits and the reweighted estimator gains nothing.
+    A teleport relocates the bound pair anywhere in one accepted move
+    (both configs keep the pair bound, so amplitudes are comparable and
+    acceptance is healthy), restoring independent support visits.
+
+    No analogue in the reference (its MC kernels are local NN/TNN
+    updaters); this is a TPU-side variance-reduction addition. Cost:
+    n_props full amplitude evaluations (one BMPS contraction each).
+
+    Returns (config', key', SweepStats)."""
+    from peps_tpu.fermion.vmc import log_abs_psi_fermion
+
+    ly, lx, _ = tps.shape[0], tps.shape[1], tps.shape[2]
+    rdt = tps.real.dtype if jnp.iscomplexobj(tps) else tps.dtype
+    # all NN bonds: horizontal then vertical, as (y1, x1, y2, x2)
+    hb = [(y, x, y, x + 1) for y in range(ly) for x in range(lx - 1)]
+    vb = [(y, x, y + 1, x) for y in range(ly - 1) for x in range(lx)]
+    bonds = jnp.asarray(np.array(hb + vb, dtype=np.int32))
+    nb = bonds.shape[0]
+
+    def log_amp(c):
+        la, _ = log_abs_psi_fermion(tps, c, space, chi, trunc)
+        if dress is not None:
+            la = la + dress.log_factor(c)
+        return la
+
+    def body(carry, k):
+        config, acc, tri = carry
+        k1, k2, ku = jax.random.split(k, 3)
+        i = jax.random.randint(k1, (), 0, nb)
+        j = jax.random.randint(k2, (), 0, nb)
+        b1, b2 = bonds[i], bonds[j]
+        # disjoint sites only (shared-site swaps are ill-defined)
+        s11 = b1[0] * lx + b1[1]
+        s12 = b1[2] * lx + b1[3]
+        s21 = b2[0] * lx + b2[1]
+        s22 = b2[2] * lx + b2[3]
+        disjoint = ((s11 != s21) & (s11 != s22)
+                    & (s12 != s21) & (s12 != s22))
+        c11, c12 = config[b1[0], b1[1]], config[b1[2], b1[3]]
+        c21, c22 = config[b2[0], b2[1]], config[b2[2], b2[3]]
+        changed = (c11 != c21) | (c12 != c22)
+        prop = config.at[b1[0], b1[1]].set(c21) \
+                     .at[b1[2], b1[3]].set(c22) \
+                     .at[b2[0], b2[1]].set(c11) \
+                     .at[b2[2], b2[3]].set(c12)
+        la0 = log_amp(config)
+        la1 = log_amp(prop)
+        ratio2 = jnp.exp(2.0 * (la1 - la0))
+        u = jax.random.uniform(ku, (), rdt)
+        ok = disjoint & changed
+        accept = ok & (u < ratio2)
+        config = jnp.where(accept, prop, config)
+        return (config, acc + accept.astype(jnp.int32),
+                tri + ok.astype(jnp.int32)), None
+
+    key, ks = jax.random.split(key)
+    (config, acc, tri), _ = jax.lax.scan(
+        body, (config, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
+        jax.random.split(ks, n_props))
+    return config, key, SweepStats(acc, tri)

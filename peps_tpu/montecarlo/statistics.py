@@ -34,6 +34,45 @@ def mean_and_binned_error_batch(samples: jnp.ndarray):
     return mean, stderr
 
 
+def weighted_mean_and_binned_error_batch(samples, log_weights):
+    """Self-normalized importance-sampling statistics with binned jackknife
+    errors (for umbrella-sampled estimators, e.g. the hole-attraction-biased
+    pair-correlation pass: samples drawn from |psi e^J|^2, log_weights =
+    -2 J so that E_|psi|^2[X] = sum(w X) / sum(w)).
+
+    samples: [S, C, K]; log_weights: [S, C]. Bins of ~sqrt(S) along the
+    sweep axis absorb autocorrelation; (bin, chain) blocks are treated as
+    independent and the ratio estimator's error comes from leave-one-block-
+    out jackknife (a plain binned stderr is biased for ratios).
+
+    Returns (means [K], stderrs [K])."""
+    samples = jnp.asarray(samples)
+    lw = jnp.asarray(log_weights)
+    s, c, k = samples.shape
+    w = jnp.exp(lw - jnp.max(lw))[..., None]            # [S, C, 1]
+    nbins = max(int(np.sqrt(s)), 1)
+    bin_len = s // nbins
+    usable = nbins * bin_len
+    num = (w * samples)[:usable].reshape(nbins, bin_len, c, k).sum(axis=1)
+    den = jnp.broadcast_to(w, (s, c, k))[:usable].reshape(
+        nbins, bin_len, c, k).sum(axis=1)
+    num = num.reshape(nbins * c, k)
+    den = den.reshape(nbins * c, k)
+    tot_num = jnp.sum(num, axis=0)
+    tot_den = jnp.sum(den, axis=0)
+    mean = tot_num / tot_den
+    nb = nbins * c
+    if nb > 1:
+        # jackknife: theta_(i) with block i removed
+        jk = (tot_num[None] - num) / (tot_den[None] - den)
+        jk_mean = jnp.mean(jk, axis=0)
+        var = (nb - 1) / nb * jnp.sum((jk - jk_mean) ** 2, axis=0)
+        stderr = jnp.sqrt(var)
+    else:
+        stderr = jnp.zeros_like(mean)
+    return mean, stderr
+
+
 def mean_and_binned_error(samples: jnp.ndarray):
     """samples: [S] or [S, C] (sweeps x chains). Bins of size ~sqrt(S) along
     the sweep axis absorb autocorrelation; chains are independent.
