@@ -89,8 +89,14 @@ def main(n_cond=200, n_count=2000, cpu=False):
     state = jnp.asarray(z["lowest_state"])
     gm = GradedFermionModel.from_model(model, space8, state.dtype)
     trunc = TruncParams(chi, 1, 1e-6, scheme="sketch")
-    base_cfgs = np.load(os.path.join(OUT_DIR, "pc160_configs_vmc.npz"))[
-        "configs"][-1]
+    # chain starts: last sample of the brute pc pass when present, else the
+    # VMC final configs — either way equilibrated w.r.t. |psi|^2, which is
+    # what phase A's unconditioned counting chain needs
+    pc_cfg_path = os.path.join(OUT_DIR, "pc160_configs_vmc.npz")
+    if os.path.exists(pc_cfg_path):
+        base_cfgs = np.load(pc_cfg_path)["configs"][-1]
+    else:
+        base_cfgs = np.asarray(z["final_configs"])
     t0 = time.time()
 
     # ---------------- phase A: P(A) by counting (unconditioned) ----------

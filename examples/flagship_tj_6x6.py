@@ -52,7 +52,7 @@ OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "out_flagship")
 
 
-def main(quick=False, resume=False, cpu=False):
+def main(quick=False, resume=False, cpu=False, nopc=False):
     ly = lx = 6
     d_su, d_vmc = 4, 8
     chi = 24 if cpu else 32
@@ -200,6 +200,32 @@ def main(quick=False, resume=False, cpu=False):
               f"E = {e_mean:.4f} +- {e_err:.4f} "
               f"({e_mean / n_sites:.5f} +- {e_err / n_sites:.5f} /site)",
               flush=True)
+
+    # `nopc` mode: stop after the energy pass and MERGE into the existing
+    # summary.json. The brute-force pair-corr fields stay as the recorded
+    # (zero-consistent, superseded) diagnostic; the support-conditioned
+    # estimator (flagship_pc_cond.py) is the production pass — running the
+    # brute walkers again would spend ~20 min of chip time on an estimator
+    # whose d=2 error cannot reach the signal at this support (~0.2%).
+    if nopc:
+        spath = os.path.join(OUT_DIR, "summary.json")
+        summary = json.load(open(spath)) if os.path.exists(spath) else {}
+        summary.update({
+            "config": (f"{ly}x{lx} t-J t={t} J={j_ex} {n_up + n_dn}e/2h "
+                       f"D={d_vmc} chi={chi} nchains={nchains}"),
+            "e_per_site": round(float(e_mean) / n_sites, 5),
+            "e_per_site_err": round(float(e_err) / n_sites, 5),
+            "e_vmc_lowest_per_site_noisy_diagnostic":
+                round(lowest_energy / n_sites, 5),
+            "wall_su_s": round(t_su, 1), "wall_vmc_s": round(t_vmc, 1),
+            "wall_meas_s": round(t_meas, 1), "n_meas": n_meas,
+            "meas_samples_per_sec": round(n_meas * nchains / t_meas, 2),
+        })
+        with open(spath, "w") as f:
+            json.dump(summary, f, indent=1)
+            f.write("\n")
+        print(json.dumps(summary), flush=True)
+        return summary
 
     # pair correlators: env-shared graded walkers in both frames (shared
     # row envs; excited-BMPS propagation for the vertical pairs), both
@@ -367,8 +393,11 @@ def main(quick=False, resume=False, cpu=False):
 if __name__ == "__main__":
     if "cpu" in sys.argv[1:]:
         jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(os.path.dirname(OUT_DIR), "..",
-                                       ".jax_cache"))
+    # persistent compile cache on EVERY backend: a fresh process otherwise
+    # recompiles ~2 min of measurement graphs per run (the in-process
+    # measure() executable cache only helps repeat calls within one run)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(OUT_DIR), "..",
+                                   ".jax_cache"))
     main(quick="quick" in sys.argv[1:], resume="resume" in sys.argv[1:],
-         cpu="cpu" in sys.argv[1:])
+         cpu="cpu" in sys.argv[1:], nopc="nopc" in sys.argv[1:])

@@ -333,9 +333,12 @@ def _trial_group_auto(chi: int, trunc: TruncParams, nc: int,
     pad = 1 if chi % 128 == 0 else 4
     per_chain = 2 * (chi ** 5) * itemsize * pad * max(1, n_replays)
     # conservative budget: the per-chain multi-scale caches (~chi^4 * nodes
-    # per chain), XLA temp double-buffering and ~30% allocator fragmentation
-    # all share the ~16 GB HBM with these temps
-    budget = 2e9
+    # per chain, ~4.3 GB at 8x8 chi=32 x32 chains, resident as the donated
+    # argument), XLA temp double-buffering and the allocator's ~31%
+    # fragmentation at these window shapes (measured: group=3 at 8x8 chi=32
+    # compiled to an 11.8 GB temp requirement and OOMed the 16 GB chip;
+    # group=1 fits) all share HBM with these temps
+    budget = 6e8
     return max(1, min(nc, int(budget // max(per_chain, 1))))
 
 
