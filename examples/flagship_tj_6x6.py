@@ -175,6 +175,7 @@ def main(quick=False, resume=False, cpu=False, nopc=False):
         z = np.load(meas_ckpt)
         e_mean, e_err = float(z["e_mean"]), float(z["e_err"])
         t_meas = float(z["t_meas"])
+        t_sampling = float(z["t_sampling"]) if "t_sampling" in z else t_meas
 
         class _M:          # stats carrier for the summary section below
             stats = {"energy": (e_mean, e_err)}
@@ -194,8 +195,9 @@ def main(quick=False, resume=False, cpu=False, nopc=False):
                     final_configs, jax.random.PRNGKey(9))
         t_meas = time.time() - t0
         e_mean, e_err = m.stats["energy"]
+        t_sampling = float(getattr(m, "sampling_wall_s", t_meas))
         np.savez(meas_ckpt, e_mean=float(e_mean), e_err=float(e_err),
-                 t_meas=t_meas)
+                 t_meas=t_meas, t_sampling=t_sampling)
         print(f"measure {n_meas} samples in {t_meas:.0f}s: "
               f"E = {e_mean:.4f} +- {e_err:.4f} "
               f"({e_mean / n_sites:.5f} +- {e_err / n_sites:.5f} /site)",
@@ -219,7 +221,12 @@ def main(quick=False, resume=False, cpu=False, nopc=False):
                 round(lowest_energy / n_sites, 5),
             "wall_su_s": round(t_su, 1), "wall_vmc_s": round(t_vmc, 1),
             "wall_meas_s": round(t_meas, 1), "n_meas": n_meas,
-            "meas_samples_per_sec": round(n_meas * nchains / t_meas, 2),
+            # steady-state rate: the sampling loop alone. The phase wall
+            # additionally carries one-time executable builds/loads and any
+            # axon-tunnel stall windows (10-25 min outages several times an
+            # hour on this box — NOTES.md round-4 infra)
+            "meas_sampling_wall_s": round(t_sampling, 1),
+            "meas_samples_per_sec": round(n_meas * nchains / t_sampling, 2),
         })
         with open(spath, "w") as f:
             json.dump(summary, f, indent=1)

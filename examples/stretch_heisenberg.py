@@ -138,6 +138,7 @@ def main(ly=12, lx=12, d_bond=10, chi=40, n_iters=100, resume=False):
         z = np.load(meas_ckpt)
         e_mean, e_err, t_meas = (float(z["e_mean"]), float(z["e_err"]),
                                  float(z["t_meas"]))
+        t_sampling = float(z["t_sampling"]) if "t_sampling" in z else t_meas
         print(f"resumed measure from {meas_ckpt}", flush=True)
     else:
         t0 = time.time()
@@ -151,7 +152,9 @@ def main(ly=12, lx=12, d_bond=10, chi=40, n_iters=100, resume=False):
                     jax.random.PRNGKey(9))
         t_meas = time.time() - t0
         e_mean, e_err = map(float, m.stats["energy"])
-        np.savez(meas_ckpt, e_mean=e_mean, e_err=e_err, t_meas=t_meas)
+        t_sampling = float(getattr(m, "sampling_wall_s", t_meas))
+        np.savez(meas_ckpt, e_mean=e_mean, e_err=e_err, t_meas=t_meas,
+                 t_sampling=t_sampling)
     print(f"measured E = {e_mean:.4f} +- {e_err:.4f} "
           f"({e_mean / n_sites:.5f} +- {e_err / n_sites:.5f} /site) "
           f"in {t_meas:.0f}s", flush=True)
@@ -163,7 +166,10 @@ def main(ly=12, lx=12, d_bond=10, chi=40, n_iters=100, resume=False):
         "e_per_site_err": round(e_err / n_sites, 5),
         "e_vmc_last_per_site": round(energies[-1] / n_sites, 5),
         "n_iters": n_iters, "n_meas": n_meas,
-        "meas_samples_per_sec": round(n_meas * nchains / t_meas, 2),
+        # steady-state sampling-loop rate (excludes one-time executable
+        # builds/loads and tunnel stalls; see NOTES.md round-4 infra)
+        "meas_sampling_wall_s": round(t_sampling, 1),
+        "meas_samples_per_sec": round(n_meas * nchains / t_sampling, 2),
         "wall_su_s": round(t_su, 1), "wall_vmc_s": round(t_vmc, 1),
         "wall_meas_s": round(t_meas, 1),
     }

@@ -51,6 +51,10 @@ class MeasureResult(NamedTuple):
     energy_autocorr_time: float
     accept_rate: float
     psi_samples: np.ndarray   # log|psi| per (sample, chain)
+    # wall seconds of the sampling loop alone (sweeps + evals + fetches),
+    # excluding warm-up and executable build/load — the number to divide
+    # samples by when quoting steady-state throughput
+    sampling_wall_s: float = float("nan")
 
 
 def _one_point_diag(config, site_values):
@@ -544,6 +548,7 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
                 _drain(prev)
         if pending is not None:
             _drain(pending)
+        t_sampling = time.time() - t_start
         outs = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *collected)
     finally:
         for sig, h in old_handlers.items():
@@ -619,7 +624,8 @@ def measure(tps: jnp.ndarray, model, params: MeasurementParams,
     tau = integrated_autocorrelation_time(e_samples.reshape(e_samples.shape[0], -1))
     result = MeasureResult(stats, metas, tau,
                            float(acc) / max(float(tri), 1.0),
-                           np.asarray(outs["log_abs_psi"]))
+                           np.asarray(outs["log_abs_psi"]),
+                           sampling_wall_s=t_sampling)
     if dump_dir:
         dump_stats(result, dump_dir)
     return result
