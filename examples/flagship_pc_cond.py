@@ -115,7 +115,10 @@ def main(n_cond=200, n_count=2000, cpu=False):
         (cfgs, _), inds = jax.lax.scan(body, (cfgs, k), None, length=ns)
         return cfgs, inds
 
-    blk = 250
+    # small blocks: the TPU worker behind the tunnel can crash mid-dispatch
+    # (seen round 5); ~25 s dispatches bound the loss and the retry loop
+    # resumes from the last finished block
+    blk = 50
     n_blocks_a = -(-n_count // blk)
     cfgs_cur = jnp.asarray(base_cfgs)
     ind_parts = []
@@ -167,7 +170,7 @@ def main(n_cond=200, n_count=2000, cpu=False):
         return jax.lax.map(one, cs, batch_size=8)
 
     cfgs_b = jnp.asarray(np.stack([make_adjacent(c) for c in base_cfgs]))
-    blk_b = 20
+    blk_b = 10
     n_blocks_b = -(-n_cond // blk_b)
     rows_l, cols_l = [], []
     for bi in range(n_blocks_b):
@@ -186,7 +189,12 @@ def main(n_cond=200, n_count=2000, cpu=False):
             assert float(holes_adjacent(jnp.asarray(c),
                                         jnp.asarray(hole_vals))) > 0.5
         flat = jnp.asarray(trail.reshape(-1, ly, lx))
-        r, c = jax.tree.map(np.asarray, pc_walkers(flat))
+        # sub-chunked dispatches (~20 s each) for the same crash-resilience
+        # reason as blk above
+        parts = [jax.tree.map(np.asarray, pc_walkers(flat[i:i + 80]))
+                 for i in range(0, flat.shape[0], 80)]
+        r = np.concatenate([p[0] for p in parts], axis=0)
+        c = np.concatenate([p[1] for p in parts], axis=0)
         r = r.reshape((blk_b, nchains) + r.shape[1:])
         c = c.reshape((blk_b, nchains) + c.shape[1:])
         np.savez(bpath, rows=r, cols=c, last=np.asarray(cfgs_b))

@@ -32,7 +32,7 @@ OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "out_stretch")
 
 
-def main(ly=12, lx=12, d_bond=10, chi=40, n_iters=100, resume=False):
+def main(ly=12, lx=12, d_bond=10, chi=40, n_iters=50, resume=False):
     from peps_tpu.algorithm.mc_evaluator import MCParams
     from peps_tpu.algorithm.measure import MeasurementParams, measure
     from peps_tpu.algorithm.vmc_optimize import VMCParams, vmc_optimize
@@ -104,13 +104,21 @@ def main(ly=12, lx=12, d_bond=10, chi=40, n_iters=100, resume=False):
         t0 = time.time()
         vp = VMCParams(
             chi=chi, trunc=trunc_mc,
-            mc=MCParams(num_samples=1, num_warmup_sweeps=60,
+            # 12x32=384 samples/step: at num_samples=1 the SR step at this
+            # parameter count (~1.2M) is noise-dominated and the state
+            # walked away from the SU start (-0.62 -> -0.03/site over 57
+            # iters, round-5 first attempt). Spike resample+rollback guards
+            # the remaining heavy-tailed steps.
+            mc=MCParams(num_samples=12, num_warmup_sweeps=60,
                         nchains=nchains, eval_chunk=8),
             optimizer=opt.OptimizerParams(
                 max_iters=n_iters - done,
                 algorithm=opt.SRParams(cg=CGParams(max_iter=40, tol=1e-5),
                                        diag_shift=1e-3),
-                lr=0.05,
+                lr=0.03,
+                spike=opt.SpikeParams(
+                    enabled=True, enable_rollback=True,
+                    log_csv=os.path.join(OUT_DIR, f"spikes_{tag}.csv")),
                 checkpoint_every=10, checkpoint_path=ckpt_dir,
                 trajectory_csv=os.path.join(OUT_DIR, f"traj_{tag}.csv")),
             rule=rule,
