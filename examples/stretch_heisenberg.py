@@ -109,7 +109,7 @@ def main(ly=12, lx=12, d_bond=10, chi=40, n_iters=50, resume=False):
             # walked away from the SU start (-0.62 -> -0.03/site over 57
             # iters, round-5 first attempt). Spike resample+rollback guards
             # the remaining heavy-tailed steps.
-            mc=MCParams(num_samples=12, num_warmup_sweeps=60,
+            mc=MCParams(num_samples=8, num_warmup_sweeps=60,
                         nchains=nchains, eval_chunk=8),
             optimizer=opt.OptimizerParams(
                 max_iters=n_iters - done,

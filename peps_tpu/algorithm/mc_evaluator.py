@@ -312,6 +312,14 @@ def mc_energy_only(tps, configs, key, model: ModelTensors, chi: int,
     return energy, err
 
 
+@partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
+def _center_scale(o_flat, n):
+    """sqrt(n)-scaled centering of the O-sample matrix, in place (donated):
+    a[s, p] = (O[s, p] - mean_s O[:, p]) / sqrt(n)."""
+    obar = jnp.mean(o_flat, axis=0)
+    return (o_flat - obar[None, :]) / jnp.sqrt(n).astype(o_flat.dtype)
+
+
 def mc_energy_grad(tps, configs, key, model: ModelTensors, chi: int,
                    trunc: TruncParams, rule: UpdateRule, params: MCParams,
                    with_sr_buffers: bool = False,
@@ -346,9 +354,13 @@ def mc_energy_grad(tps, configs, key, model: ModelTensors, chi: int,
 
     if with_sr_buffers:
         o_flat = o_full.reshape(n, -1)
-        obar = jnp.mean(o_flat, axis=0)
-        a = (o_flat - obar[None, :]) / jnp.sqrt(n).astype(o_flat.dtype)
-        eps = (e_locs.reshape(n) - energy).astype(o_flat.dtype) / jnp.sqrt(n).astype(o_flat.dtype)
+        # center+scale with the input buffer DONATED: o_flat is [Ns, P]
+        # (4.4 GB at 12x12 D=10 x384 samples) and an eager subtraction
+        # materializes a second copy — the peak that OOMed the 16 GB chip
+        # on the first stretch attempt. Donation lets XLA write `a` into
+        # o_full's pages.
+        a = _center_scale(o_flat, n)
+        eps = (e_locs.reshape(n) - energy).astype(a.dtype) / jnp.sqrt(n).astype(a.dtype)
         if not jnp.iscomplexobj(tps):
             eps = 2.0 * eps
         grad = (jnp.conj(a.T) @ eps)
