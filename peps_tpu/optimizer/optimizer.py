@@ -510,10 +510,16 @@ def iterative_optimize(state: jnp.ndarray,
                 if retries < sp.max_retries:
                     log_spike(step, signal, "resample", val, thr)
                     retries += 1
+                    # drop the rejected evaluation FIRST: its [Ns, P] SR
+                    # buffer is GBs at production scale, and re-evaluating
+                    # while it is still referenced doubles peak HBM (OOMed
+                    # the 12x12 D=10 stretch run on a 16 GB chip)
+                    ev = None
                     ev = evaluate(state, step)
                     continue
                 log_spike(step, signal, "rollback", val, thr)
                 if rollback():
+                    ev = None
                     ev = evaluate(state, step)
                 break
 
@@ -528,6 +534,7 @@ def iterative_optimize(state: jnp.ndarray,
                 log_spike(step, "S4", "rollback", e_v,
                           ema_energy.mean + sp.sigma_k * ema_energy.std)
                 if rollback():
+                    ev = None    # free the rejected SR buffers (see S1/S2)
                     ev = evaluate(state, step)
         eval_s = time.time() - t0
 
@@ -608,6 +615,7 @@ def iterative_optimize(state: jnp.ndarray,
                 if s3_attempts < sp.max_retries:
                     log_spike(step, "S3", "resample", nat_norm, thr)
                     s3_attempts += 1
+                    ev = None    # free the rejected SR buffers (see S1/S2)
                     ev = evaluate(state, step)
                     continue
                 log_spike(step, "S3", "rollback", nat_norm, thr)
