@@ -202,45 +202,33 @@ def main(n_cond=200, n_count=2000, cpu=False):
         print(f"[cond] block {bi + 1}/{n_blocks_b} "
               f"({time.time() - t0:.0f}s)", flush=True)
 
-    def stats(parts):
-        a = np.concatenate(parts, axis=0)          # [S, C, ...]
-        s, ch = a.shape[:2]
-        mv, ev = mean_and_binned_error_batch(
-            jnp.asarray(a.reshape(s, ch, -1)))
-        shape = a.shape[2:]
-        m = np.asarray(mv, np.float64).reshape(shape)
-        e = np.asarray(ev, np.float64).reshape(shape)
-        # C = P(A) * E[.|A]; independent runs -> quadrature
-        cm = pa * m
-        ce = np.sqrt((pa * e) ** 2 + (m * pa_err) ** 2)
-        return cm, ce, s * ch
-
-    row_m, row_e, ns_b = stats(rows_l)
-    col_m, col_e, _ = stats(cols_l)
-
-    def bond_decay(pc, pc_err, nlines, nb):
+    def bond_decay(parts, nlines, nb):
+        """Translation-averaged decay: per SAMPLE, average every
+        (line, i, j) entry at bond distance |i - j| = d, then bin the
+        per-sample scalars over the chain trajectories. Averaging inside
+        the sample handles cross-entry correlation exactly; binning
+        handles autocorrelation. (The first aggregation attempt weighted
+        ENTRIES by their own inverse variance — on sparse heavy-tailed
+        tables that returns the minimum-variance entry, i.e. whichever
+        entry saw only numerical dust, not the translation average.)"""
+        a = np.concatenate(parts, axis=0).astype(np.float64)   # [S,C,l,i,j]
         decay, decay_err = {}, {}
         for dist in range(2, nb):
-            idx = [(r, i, j) for r in range(nlines)
-                   for i in range(nb) for j in range(nb)
-                   if abs(i - j) == dist]
-            vals = np.array([pc[a] for a in idx])
-            errs = np.array([pc_err[a] for a in idx])
-            # inverse-variance weights over entries WITH data (err > 0);
-            # hermiticity C(i,k) = C(k,i) makes the visited orientation
-            # cover its unvisited partner
-            has = errs > 0
-            if not has.any():
-                continue
-            wgt = 1.0 / np.maximum(errs[has], errs[has].min()) ** 2
-            decay[dist] = float(
-                f"{float(np.sum(wgt * vals[has]) / np.sum(wgt)):.3g}")
+            mask = np.abs(np.subtract.outer(np.arange(nb),
+                                            np.arange(nb))) == dist
+            u = a[:, :, :, mask].mean(axis=(2, 3))             # [S, C]
+            mv, ev = mean_and_binned_error_batch(
+                jnp.asarray(u[:, :, None]))
+            m, e = float(mv[0]), float(ev[0])
+            # C = P(A) * E[.|A]; independent runs -> quadrature
+            decay[dist] = float(f"{pa * m:.3g}")
             decay_err[dist] = float(
-                f"{float(np.sqrt(1.0 / np.sum(wgt))):.3g}")
+                f"{float(np.sqrt((pa * e) ** 2 + (m * pa_err) ** 2)):.3g}")
         return decay, decay_err
 
-    rd, rde = bond_decay(row_m, row_e, ly, lx - 1)
-    cd, cde = bond_decay(col_m, col_e, lx, ly - 1)
+    ns_b = sum(p.shape[0] for p in rows_l) * nchains
+    rd, rde = bond_decay(rows_l, ly, lx - 1)
+    cd, cde = bond_decay(cols_l, lx, ly - 1)
     spath = os.path.join(OUT_DIR, "summary.json")
     summary = json.load(open(spath)) if os.path.exists(spath) else {}
     summary.update({
@@ -256,9 +244,13 @@ def main(n_cond=200, n_count=2000, cpu=False):
             "Support-conditioned estimator: C = P(A) * E[table|A]; "
             "hard Chebyshev-adjacency conditioning via the "
             "hole-attraction dress, P(A) from table-free counting. "
-            "Inverse-variance aggregation over visited entries; "
-            "supersedes the zero-consistent brute-force decay fields."),
-        "wall_pc_cond_s": round(time.time() - t0, 1),
+            "Per-sample translation average at each bond distance, "
+            "binned over trajectories; supersedes the zero-consistent "
+            "brute-force decay fields."),
+        # keep the compute run's wall when this invocation only
+        # re-aggregated existing blocks
+        "wall_pc_cond_s": max(round(time.time() - t0, 1),
+                              summary.get("wall_pc_cond_s", 0.0)),
     })
     with open(spath, "w") as f:
         json.dump(summary, f, indent=1)
