@@ -32,7 +32,7 @@ OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "out_stretch")
 
 
-def main(ly=12, lx=12, d_bond=10, chi=40, n_iters=50, resume=False):
+def main(ly=12, lx=12, d_bond=10, chi=40, n_iters=40, resume=False):
     from peps_tpu.algorithm.mc_evaluator import MCParams
     from peps_tpu.algorithm.measure import MeasurementParams, measure
     from peps_tpu.algorithm.vmc_optimize import VMCParams, vmc_optimize
